@@ -1,0 +1,292 @@
+"""Engine: the runtime layer owning KV state and jitted step functions.
+
+TPU-native analog of the reference's LMBackend (Engine/SnapKV/backend.py,
+Engine/StreamingLLM/backend.py): where the reference mutates page-table tensors
+and re-plans flashinfer wrappers before every forward, this Engine holds
+immutable cache pytrees and calls jitted pure step functions — XLA's
+fixed-shape compilation provides what torch.compile + CUDA graphs provide
+there, and re-"plan" is free because raggedness is carried in length vectors.
+
+Public surface (parity with LMBackend):
+  encode(input_ids)        chunked prefill (+ SnapKV/StreamingLLM draft build)
+  inference(tokens)        target decode/verify without draft writes
+  speculate(tokens)        one draft step (gamma-loop lives in engine/spec.py)
+  verify(tokens)           target verify, dual-writing the draft cache (SnapKV)
+  rollback/advance         pure length arithmetic on cache state
+  clear_kv()               reset lengths (buffers are reused)
+
+Speculation modes: spec=None (baseline), "snapkv", "streaming".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu import cache as cache_lib
+from magicdec_tpu.cache import DraftKVCache, KVCache
+from magicdec_tpu.engine import attention_impls as impls
+from magicdec_tpu.engine.sampling import argmax_tokens
+from magicdec_tpu.models import llama
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops.rope import rope_cos_sin, apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Pure step functions (jitted per static config)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config", "last_only"),
+                   donate_argnames=("cache",))
+def prefill_chunk_step(params, config: ModelArgs, cache: KVCache, tokens,
+                       last_only: bool = True):
+    impl = impls.target_attn(config, cache.lengths)
+    logits, (ck, cv) = llama.forward(params, config, tokens, impl,
+                                     (cache.k, cache.v), last_only=last_only)
+    new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
+    return argmax_tokens(logits), new_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "context_len", "budget", "window"),
+                   donate_argnames=("cache", "draft"))
+def prefill_last_chunk_snapkv_step(params, config: ModelArgs, cache: KVCache,
+                                   draft: DraftKVCache, tokens,
+                                   context_len: int, budget: int, window: int):
+    """Final prefill chunk + SnapKV draft-cache construction."""
+    impl = impls.prefill_snapkv_attn(config, cache.lengths, context_len,
+                                     budget, window)
+    logits, (ck, cv, dk, dv) = llama.forward(
+        params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v),
+        last_only=True)
+    new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
+    new_draft = DraftKVCache(dk, dv,
+                             jnp.full_like(draft.lengths, budget),
+                             draft.evicted)
+    return argmax_tokens(logits), new_cache, new_draft
+
+
+@functools.partial(jax.jit, static_argnames=("config", "budget", "sink"),
+                   donate_argnames=("draft",))
+def build_streaming_draft_step(config: ModelArgs, cache: KVCache,
+                               draft: DraftKVCache, budget: int, sink: int):
+    """Construct the StreamingLLM draft cache from the target cache.
+
+    TPU-native shortcut over the reference's separate chunked draft prefill
+    (Engine/StreamingLLM/backend.py:233-298): for SELF-speculation the draft
+    shares the target weights, so the sink + recent-window K/V already sit in
+    the target cache — gather them and INVERT rope on K (rotate by -position)
+    to recover the unrotated keys the streaming cache stores.
+    """
+    B = cache.lengths.shape[0]
+    keep = jnp.minimum(cache.lengths, budget)            # [B]
+    slot = jnp.arange(draft.size, dtype=jnp.int32)[None, :].repeat(B, 0)
+    # source slot in the target cache: sink slots map identity; window slots
+    # map to the tail of the prefix
+    win_src = cache.lengths[:, None] - (keep[:, None] - slot)
+    src = jnp.where(slot < sink, slot, win_src)
+    src = jnp.clip(src, 0, cache.max_len - 1)
+    # inverse rope at the ORIGINAL positions of the gathered keys
+    cos, sin = rope_cos_sin(config, src)
+
+    def per_layer(k_l, v_l):  # [B, S, H, D]
+        take = jax.vmap(lambda a, i: a[i])
+        gk, gv = take(k_l, src), take(v_l, src)
+        return apply_rope(gk, cos, -sin), gv
+
+    dk, dv = jax.vmap(per_layer)(cache.k, cache.v)
+    dk = dk.astype(draft.k.dtype)
+    dv = dv.astype(draft.v.dtype)
+    return DraftKVCache(dk, dv, keep, jnp.maximum(cache.lengths - keep, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("cache",))
+def target_decode_step(params, config: ModelArgs, cache: KVCache, tokens):
+    """Decode/verify WITHOUT draft writes (baseline + StreamingLLM verify)."""
+    impl = impls.target_attn(config, cache.lengths)
+    logits, (ck, cv) = llama.forward(params, config, tokens, impl,
+                                     (cache.k, cache.v))
+    new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
+    return argmax_tokens(logits), new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("cache", "draft"))
+def verify_dual_step(params, config: ModelArgs, cache: KVCache,
+                     draft: DraftKVCache, tokens):
+    """SnapKV verify: target attention, k/v appended to BOTH caches at the
+    round-start draft offset (overwrite of spec-written entries — reference
+    pre_verify/Attention.verify semantics, Engine/SnapKV/backend.py:182-199)."""
+    impl = impls.verify_dual_attn(config, cache.lengths, draft.lengths)
+    logits, (ck, cv, dk, dv) = llama.forward(
+        params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v))
+    T = tokens.shape[1]
+    new_cache = KVCache(ck, cv, cache.lengths + T)
+    new_draft = DraftKVCache(dk, dv, draft.lengths + T, draft.evicted)
+    return argmax_tokens(logits), new_cache, new_draft
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("draft",))
+def draft_decode_snapkv_step(params, config: ModelArgs, draft: DraftKVCache,
+                             tokens, position_base):
+    """One SnapKV draft step; queries rotate at true absolute positions."""
+    impl = impls.snapkv_draft_attn(config, position_base, draft.lengths)
+    logits, (dk, dv) = llama.forward(params, config, tokens, impl,
+                                     (draft.k, draft.v))
+    new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
+                             draft.evicted)
+    return argmax_tokens(logits), new_draft
+
+
+@functools.partial(jax.jit, static_argnames=("config", "budget", "sink"),
+                   donate_argnames=("draft",))
+def draft_decode_streaming_step(params, config: ModelArgs, draft: DraftKVCache,
+                                tokens, budget: int, sink: int):
+    """One StreamingLLM draft step (unrotated K store, rope-at-read)."""
+    impl = impls.streaming_draft_attn(config, draft.lengths, budget, sink)
+    logits, (dk, dv) = llama.forward(params, config, tokens, impl,
+                                     (draft.k, draft.v))
+    new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
+                             draft.evicted)
+    return argmax_tokens(logits), new_draft
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class Engine:
+    def __init__(self, config: ModelArgs, params, *, batch_size: int,
+                 max_len: int, spec: Optional[str] = None, draft_budget: int = 0,
+                 window_size: int = 32, sink_size: int = 16,
+                 draft_headroom: int = 192, prefill_chunk: int = 128,
+                 kv_dtype=None):
+        assert spec in (None, "snapkv", "streaming"), spec
+        if spec:
+            assert draft_budget > 0
+        self.config = config
+        self.params = params
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.spec = spec
+        self.draft_budget = draft_budget
+        self.window_size = window_size
+        self.sink_size = sink_size
+        self.prefill_chunk = prefill_chunk
+        self.draft_headroom = draft_headroom
+        if kv_dtype is None:
+            kv_dtype = params["layers"]["wqkv"].dtype
+        self.kv_dtype = kv_dtype
+
+        c = config
+        self.cache = KVCache.create(c.n_layer, batch_size, max_len,
+                                    c.n_kv_head, c.head_dim, kv_dtype)
+        self.draft: Optional[DraftKVCache] = None
+        if spec:
+            self.draft = DraftKVCache.create(
+                c.n_layer, batch_size, draft_budget + draft_headroom,
+                c.n_kv_head, c.head_dim, kv_dtype)
+
+    # -- prefill ------------------------------------------------------------
+
+    def encode(self, input_ids) -> jax.Array:
+        """Chunked prefill; returns the first generated token [B, 1].
+
+        Matches LMBackend.encode (Engine/SnapKV/backend.py:231-268): fixed-size
+        chunks bound activation memory; the last chunk builds the SnapKV draft
+        cache; StreamingLLM instead gathers its draft cache from the target
+        cache afterwards.
+        """
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        B, P = input_ids.shape
+        assert B == self.batch_size
+        chunk = self.prefill_chunk
+        assert P % chunk == 0, f"prefix length {P} must be a multiple of {chunk}"
+        if self.spec == "snapkv":
+            assert self.draft_budget <= P, "SnapKV budget must fit the prefix"
+
+        n_chunks = P // chunk
+        next_tok = None
+        for i in range(n_chunks):
+            tok = input_ids[:, i * chunk:(i + 1) * chunk]
+            if self.spec == "snapkv" and i == n_chunks - 1:
+                next_tok, self.cache, self.draft = prefill_last_chunk_snapkv_step(
+                    self.params, self.config, self.cache, self.draft, tok,
+                    context_len=P, budget=self.draft_budget,
+                    window=self.window_size)
+            else:
+                next_tok, self.cache = prefill_chunk_step(
+                    self.params, self.config, self.cache, tok)
+        if self.spec == "streaming":
+            self.draft = build_streaming_draft_step(
+                self.config, self.cache, self.draft,
+                budget=self.draft_budget, sink=self.sink_size)
+        return next_tok
+
+    # -- decode-side API ------------------------------------------------------
+
+    def inference(self, tokens) -> jax.Array:
+        out, self.cache = target_decode_step(self.params, self.config,
+                                             self.cache, jnp.asarray(tokens))
+        return out
+
+    def verify(self, tokens) -> jax.Array:
+        if self.spec == "snapkv":
+            out, self.cache, self.draft = verify_dual_step(
+                self.params, self.config, self.cache, self.draft,
+                jnp.asarray(tokens))
+            return out
+        return self.inference(tokens)
+
+    def speculate(self, tokens) -> jax.Array:
+        tokens = jnp.asarray(tokens)
+        if self.spec == "snapkv":
+            # absolute position of the first spec token = target len + already
+            # speculated count (draft cache holds budget + spec'd tokens)
+            offset = self.draft.lengths - self._draft_round_start_lengths
+            out, self.draft = draft_decode_snapkv_step(
+                self.params, self.config, self.draft, tokens,
+                self.cache.lengths + offset)
+        else:
+            out, self.draft = draft_decode_streaming_step(
+                self.params, self.config, self.draft, tokens,
+                budget=self.draft_budget, sink=self.sink_size)
+        return out
+
+    def begin_spec_round(self):
+        """Snapshot draft lengths at round start (verify dual-writes here)."""
+        self._draft_round_start_lengths = self.draft.lengths
+
+    # -- state management -----------------------------------------------------
+
+    def rollback_target(self, n):
+        self.cache = self.cache.rollback(jnp.asarray(n, jnp.int32))
+
+    def rollback_draft(self, n):
+        self.draft = self.draft.rollback(jnp.asarray(n, jnp.int32))
+
+    def set_lengths(self, target=None, draft=None):
+        if target is not None:
+            self.cache = self.cache.set_lengths(jnp.asarray(target, jnp.int32))
+        if draft is not None:
+            self.draft = DraftKVCache(self.draft.k, self.draft.v,
+                                      jnp.asarray(draft, jnp.int32),
+                                      self.draft.evicted)
+
+    def compact_draft(self):
+        """StreamingLLM amortized window compaction (between rounds)."""
+        if self.spec == "streaming":
+            trigger = self.draft.size - (self.draft_headroom // 2)
+            self.draft = cache_lib.streaming_compact(
+                self.draft, self.draft_budget, self.sink_size, trigger)
+
+    def clear_kv(self):
+        self.cache = self.cache.set_lengths(jnp.zeros((self.batch_size,), jnp.int32))
+        if self.draft is not None:
+            zero = jnp.zeros((self.batch_size,), jnp.int32)
+            self.draft = DraftKVCache(self.draft.k, self.draft.v, zero, zero)

@@ -1,0 +1,253 @@
+"""Speculative decoding control loops, fused into single XLA programs.
+
+The reference drives draft/verify/accept from Python with one kernel launch and
+one flashinfer plan() per draft token (tests/SnapKV/selfspec_benchmark.py:150-
+259). On TPU the whole round — gamma draft steps (lax.scan), verify, vectorized
+cumprod acceptance, length rollback, output scatter, bonus pick — is ONE jitted
+program per round; the host syncs once per round on the terminal flag.
+
+Acceptance semantics match the reference exactly (selfspec_benchmark.py:177-246):
+  * a drafted token equal to the target argmax AND not EOS is accepted;
+  * accept_nums = 1 + length of the accepted cumprod prefix (the +1 emits the
+    round's input token, which was the previous round's bonus);
+  * emitted tokens are the BUFFER tokens [0..accept), the bonus
+    target_tokens[accept-1] seeds the next round;
+  * rollback rewinds cache lengths only; garbage tails are masked at attention.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu import cache as cache_lib
+from magicdec_tpu.cache import DraftKVCache, KVCache
+from magicdec_tpu.engine import attention_impls as impls
+from magicdec_tpu.engine.backend import Engine
+from magicdec_tpu.engine.sampling import argmax_tokens
+from magicdec_tpu.models import llama
+
+
+def _is_eot(tokens: jax.Array, eot: jax.Array) -> jax.Array:
+    return (tokens == eot[0]) | (tokens == eot[1])
+
+
+def _accept_and_update(buffer, target_tokens, eot, gamma,
+                       output, gen_counts):
+    """Vectorized acceptance, output scatter, bonus/terminal computation."""
+    draft_tokens = buffer[:, 1:]
+    flag = (target_tokens[:, :gamma] == draft_tokens) & ~_is_eot(draft_tokens, eot)
+    cum = jnp.cumprod(flag.astype(jnp.int32), axis=1)
+    accept = 1 + jnp.sum(cum, axis=1)                      # [B] in [1, gamma+1]
+    bonus = jnp.take_along_axis(target_tokens, accept[:, None] - 1, axis=1)
+
+    B, O = output.shape
+    pos = gen_counts[:, None] + jnp.arange(gamma + 1, dtype=jnp.int32)[None, :]
+    keep = jnp.arange(gamma + 1, dtype=jnp.int32)[None, :] < accept[:, None]
+    pos = jnp.where(keep, jnp.minimum(pos, O - 1), O)      # OOB -> dropped
+    output = output.at[jnp.arange(B)[:, None], pos].set(buffer, mode="drop")
+    gen_counts = gen_counts + accept
+
+    terminal = (jnp.any(cum.astype(bool) & _is_eot(draft_tokens, eot))
+                | jnp.any(_is_eot(bonus, eot)))
+    accepted_drafts = jnp.sum(cum)
+    return accept, bonus, output, gen_counts, terminal, accepted_drafts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gamma"),
+    donate_argnames=("cache", "draft", "output", "gen_counts"))
+def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
+                 buffer0, output, gen_counts, eot, gamma: int):
+    """One SnapKV self-speculation round (draft shares target weights)."""
+    lenT0, lenD0 = cache.lengths, draft.lengths
+
+    def draft_body(carry, i):
+        dk, dv, lens, tok = carry
+        impl = impls.snapkv_draft_attn(config, lenT0 + i, lens)
+        logits, (dk, dv) = llama.forward(params, config, tok, impl, (dk, dv),
+                                         last_only=True)
+        nxt = argmax_tokens(logits)
+        return (dk, dv, lens + 1, nxt), nxt
+
+    (dk, dv, _, _), drafted = jax.lax.scan(
+        draft_body, (draft.k, draft.v, lenD0, buffer0),
+        jnp.arange(gamma, dtype=jnp.int32))
+    buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)  # [B, g+1]
+
+    # verify: target attention, dual-append at the ROUND-START draft offset
+    # (overwrites the spec-written entries with target-quality k/v).
+    impl = impls.verify_dual_attn(config, lenT0, lenD0)
+    logits, (ck, cv, dk, dv) = llama.forward(
+        params, config, buffer, impl, (cache.k, cache.v, dk, dv))
+    target_tokens = argmax_tokens(logits)
+
+    accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
+        buffer, target_tokens, eot, gamma, output, gen_counts)
+
+    new_cache = KVCache(ck, cv, lenT0 + accept)
+    new_draft = DraftKVCache(dk, dv, lenD0 + accept, draft.evicted)
+    return (new_cache, new_draft, bonus, output, gen_counts,
+            dict(terminal=terminal, accepted_drafts=accepted, accept_nums=accept))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gamma", "budget", "sink"),
+    donate_argnames=("cache", "draft", "output", "gen_counts"))
+def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
+                    buffer0, last_acc_tok, output, gen_counts, eot,
+                    gamma: int, budget: int, sink: int):
+    """One StreamingLLM self-speculation round.
+
+    Invariant at entry: draft.lengths == slot of `last_acc_tok` (the newest
+    accepted token whose draft K/V may be stale after rollback — it is re-fed
+    together with the bonus, so the first draft step always has dec_len 2,
+    uniformizing the reference's ragged double-advance path
+    (tests/StreamingLLM/selfspec_benchmark.py:216-224)).
+    """
+    lenT0, lenD0 = cache.lengths, draft.lengths
+
+    def step(dk, dv, lens, tokens):
+        impl = impls.streaming_draft_attn(config, lens, budget, sink)
+        logits, (dk, dv) = llama.forward(params, config, tokens, impl,
+                                         (dk, dv), last_only=True)
+        return dk, dv, lens + tokens.shape[1], argmax_tokens(logits)
+
+    # step 1: re-feed last accepted + current token
+    dk, dv, lens, nxt = step(draft.k, draft.v, lenD0,
+                             jnp.concatenate([last_acc_tok, buffer0], axis=1))
+
+    def draft_body(carry, _):
+        dk, dv, lens, tok = carry
+        dk, dv, lens, nxt = step(dk, dv, lens, tok)
+        return (dk, dv, lens, nxt), nxt
+
+    (dk, dv, _, _), drafted = jax.lax.scan(
+        draft_body, (dk, dv, lens, nxt), None, length=gamma - 1)
+    # buffer = [buffer0, first drafted, remaining drafted]  -> [B, gamma+1]
+    buffer = jnp.concatenate(
+        [buffer0, nxt] + ([drafted[:, :, 0].T] if gamma > 1 else []), axis=1)
+
+    # verify: target-only (StreamingLLM verify never writes the draft cache,
+    # Engine/StreamingLLM/model.py:209)
+    impl = impls.target_attn(config, lenT0)
+    logits, (ck, cv) = llama.forward(params, config, buffer, impl,
+                                     (cache.k, cache.v))
+    target_tokens = argmax_tokens(logits)
+
+    accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
+        buffer, target_tokens, eot, gamma, output, gen_counts)
+
+    new_cache = KVCache(ck, cv, lenT0 + accept)
+    # slot(buffer[a-1]) = lenD0 + a  (last_acc@lenD0, buffer[j]@lenD0+1+j)
+    new_draft = DraftKVCache(dk, dv, lenD0 + accept, draft.evicted)
+    new_last_acc = jnp.take_along_axis(buffer, accept[:, None] - 1, axis=1)
+    return (new_cache, new_draft, bonus, new_last_acc, output, gen_counts,
+            dict(terminal=terminal, accepted_drafts=accepted, accept_nums=accept))
+
+
+# ---------------------------------------------------------------------------
+# Host-side generation drivers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SpecStats:
+    rounds: int = 0
+    total_drafted: int = 0
+    total_accepted_drafts: int = 0
+    generated_tokens: int = 0
+    wall_time_s: float = 0.0
+    draft_time_s: float = 0.0
+    phase_times: dict = field(default_factory=dict)
+
+    @property
+    def acceptance_rate(self) -> float:
+        return (self.total_accepted_drafts / self.total_drafted
+                if self.total_drafted else 0.0)
+
+    @property
+    def avg_accepted_per_round(self) -> float:
+        return (self.generated_tokens / self.rounds) if self.rounds else 0.0
+
+
+def generate_autoregressive(engine: Engine, input_ids, max_new_tokens: int,
+                            eot_ids=()) -> tuple[jax.Array, SpecStats]:
+    """Baseline decode loop (reference tests/baseline_benchmark.py:80-92)."""
+    eot = _eot_array(eot_ids)
+    tok = engine.encode(input_ids)
+    B = tok.shape[0]
+    out = [tok]
+    stats = SpecStats()
+    t0 = time.perf_counter()
+    for _ in range(max_new_tokens - 1):
+        tok = engine.inference(tok)
+        out.append(tok)
+        if bool(jnp.any(_is_eot(tok, eot))):
+            break
+    jax.block_until_ready(out[-1])
+    stats.wall_time_s = time.perf_counter() - t0
+    stats.generated_tokens = len(out) * B
+    stats.rounds = len(out)
+    return jnp.concatenate(out, axis=1), stats
+
+
+def _eot_array(eot_ids) -> jax.Array:
+    ids = list(eot_ids)[:2] + [-1, -1]
+    return jnp.asarray(ids[:2], jnp.int32)
+
+
+def generate_selfspec(engine: Engine, input_ids, gamma: int,
+                      max_new_tokens: int, eot_ids=()) -> tuple[jax.Array, jax.Array, SpecStats]:
+    """Self-speculation driver (reference tests/{SnapKV,StreamingLLM}/
+    selfspec_benchmark.py). Returns (output [B, cap], gen_counts [B], stats).
+    """
+    assert engine.spec in ("snapkv", "streaming")
+    input_ids = jnp.asarray(input_ids, jnp.int32)
+    B, P = input_ids.shape
+    eot = _eot_array(eot_ids)
+    cap = max_new_tokens + gamma + 2
+    output = jnp.zeros((B, cap), jnp.int32)
+    gen_counts = jnp.zeros((B,), jnp.int32)
+
+    buffer0 = engine.encode(input_ids)
+    if engine.spec == "streaming":
+        # invariant: draft.lengths points at the newest accepted token's slot
+        last_acc = input_ids[:, -1:]
+        engine.set_lengths(draft=engine.draft.lengths - 1)
+
+    stats = SpecStats()
+    t0 = time.perf_counter()
+    while True:
+        if engine.spec == "snapkv":
+            (engine.cache, engine.draft, buffer0, output, gen_counts,
+             info) = snapkv_round(engine.params, engine.config, engine.cache,
+                                  engine.draft, buffer0, output, gen_counts,
+                                  eot, gamma)
+        else:
+            engine.compact_draft()
+            (engine.cache, engine.draft, buffer0, last_acc, output, gen_counts,
+             info) = streaming_round(engine.params, engine.config, engine.cache,
+                                     engine.draft, buffer0, last_acc, output,
+                                     gen_counts, eot, gamma,
+                                     engine.draft_budget, engine.sink_size)
+        stats.rounds += 1
+        stats.total_drafted += B * gamma
+        stats.total_accepted_drafts += int(info["accepted_drafts"])
+        done = bool(info["terminal"])
+        max_gen = int(jnp.max(gen_counts))
+        if done or max_gen >= max_new_tokens:
+            break
+        if int(jnp.max(engine.cache.lengths)) + gamma + 1 > engine.max_len:
+            break
+    # final bonus token
+    idx = jnp.minimum(gen_counts, cap - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    gen_counts = gen_counts + 1
+    jax.block_until_ready(output)
+    stats.wall_time_s = time.perf_counter() - t0
+    stats.generated_tokens = int(jnp.sum(gen_counts))
+    return output, gen_counts, stats

@@ -1,0 +1,129 @@
+"""Functional Llama/Qwen/Yi/Mistral decoder core.
+
+TPU-first re-design of the reference's gpt-fast Transformer
+(Engine/SnapKV/model.py:115-475): pure functions over a params pytree, layers
+stacked on a leading axis and executed with `lax.scan` (one compiled layer
+body, fast compile even at 80 layers), and attention delegated to a pluggable
+`attn_impl` so the same core serves target decode / prefill / verify /
+draft-decode variants without duplicating model code (the reference instead
+duplicates the whole model file four times: model.py, model_draft.py, x2
+engines).
+
+Weights use [in, out] layout so forward matmuls are plain `x @ w` (MXU-friendly,
+no transposes). QKV is fused into one matmul, gate/up into another, mirroring
+the reference's wqkv fusion (Engine/SnapKV/model.py:311-322).
+
+attn_impl contract:
+    attn_impl(q, k, v, cache_layers: tuple[Array, ...])
+        -> (ctx [B, T, Hq*Dh], new_cache_layers)
+with q [B,T,Hq,Dh], k/v [B,T,Hkv,Dh] all PRE-rope; the impl owns rope (target
+caches store rotated K; StreamingLLM draft caches store unrotated K and rotate
+at read — Engine/StreamingLLM/model.py:116-157).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops.norms import rms_norm
+
+Params = dict[str, Any]
+AttnImpl = Callable
+
+
+def init_params(key: jax.Array, config: ModelArgs, dtype=jnp.float32,
+                scale: float = 0.02) -> Params:
+    """Random-normal params (for tests/benchmarks without checkpoints)."""
+    c = config
+    L, D, I = c.n_layer, c.dim, c.intermediate_size
+    Dh, Hq, Hkv = c.head_dim, c.n_head, c.n_kv_head
+    qkv_out = (Hq + 2 * Hkv) * Dh
+    ks = jax.random.split(key, 8)
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params: Params = {
+        "tok_embeddings": rnd(ks[0], (c.vocab_size, D)),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "wqkv": rnd(ks[1], (L, D, qkv_out)),
+            "wo": rnd(ks[2], (L, Hq * Dh, D)),
+            "ffn_norm": jnp.ones((L, D), dtype),
+            "w_gate_up": rnd(ks[3], (L, D, 2 * I)),
+            "w_down": rnd(ks[4], (L, I, D)),
+        },
+        "norm": jnp.ones((D,), dtype),
+        "output": None if c.tie_word_embeddings else rnd(ks[5], (D, c.vocab_size)),
+    }
+    if c.qkv_bias:
+        params["layers"]["bqkv"] = rnd(ks[6], (L, qkv_out))
+    return params
+
+
+def _split_qkv(qkv: jax.Array, config: ModelArgs):
+    B, T = qkv.shape[:2]
+    Dh, Hq, Hkv = config.head_dim, config.n_head, config.n_kv_head
+    q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
+    return (q.reshape(B, T, Hq, Dh), k.reshape(B, T, Hkv, Dh),
+            v.reshape(B, T, Hkv, Dh))
+
+
+def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
+           cache_layers: tuple):
+    """One decoder block: pre-norm attn + pre-norm SwiGLU MLP."""
+    h = rms_norm(x, lp["attn_norm"], config.norm_eps)
+    qkv = h @ lp["wqkv"]
+    if "bqkv" in lp:
+        qkv = qkv + lp["bqkv"]
+    q, k, v = _split_qkv(qkv, config)
+    ctx, new_cache_layers = attn_impl(q, k, v, cache_layers)
+    x = x + ctx @ lp["wo"]
+
+    h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
+    gate_up = h @ lp["w_gate_up"]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    x = x + (jax.nn.silu(gate) * up) @ lp["w_down"]
+    return x, new_cache_layers
+
+
+def run_layers(params: Params, config: ModelArgs, x: jax.Array,
+               attn_impl: AttnImpl, cache_arrays: tuple):
+    """Scan the decoder stack. cache_arrays: tuple of [L, ...] arrays threaded
+    through as scan xs -> ys (per-layer slices handed to attn_impl)."""
+    def body(carry, xs):
+        lp, cache_layers = xs
+        out, new_cache = _block(carry, lp, config, attn_impl, cache_layers)
+        return out, new_cache
+
+    x, new_caches = jax.lax.scan(body, x, (params["layers"], cache_arrays))
+    return x, new_caches
+
+
+def unembed(params: Params, config: ModelArgs, x: jax.Array) -> jax.Array:
+    """Final norm + lm_head; logits in float32 (vocab-sharded under GSPMD, the
+    distributed argmax of Engine/SnapKV/model.py:180-189 then falls out of a
+    plain jnp.argmax)."""
+    x = rms_norm(x, params["norm"], config.norm_eps)
+    w_out = (params["tok_embeddings"].T if config.tie_word_embeddings
+             else params["output"])
+    return jnp.dot(x, w_out, preferred_element_type=jnp.float32)
+
+
+def forward(params: Params, config: ModelArgs, tokens: jax.Array,
+            attn_impl: AttnImpl, cache_arrays: tuple, last_only: bool = False):
+    """tokens [B, T] -> (logits fp32, new_cache_arrays).
+
+    last_only=True unembeds just the final position ([B, 1, V]) — prefill
+    chunks never materialize a [B, T, V] logits tensor (the reference instead
+    relies on flashinfer returning per-token outputs and slices afterwards).
+    """
+    x = params["tok_embeddings"][tokens]
+    x, new_caches = run_layers(params, config, x, attn_impl, cache_arrays)
+    if last_only:
+        x = x[:, -1:]
+    return unembed(params, config, x), new_caches

@@ -1,0 +1,76 @@
+"""Dense ragged attention — the XLA-fused reference path and numerical oracle.
+
+This is the semantic ground truth that the Pallas kernels (ops/pallas/) are
+unit-tested against. It replaces the reference's flashinfer paged wrappers
+(Engine/SnapKV/backend.py:41-107): instead of page indirection, the cache is a
+fixed-shape [B, S_max, H_kv, D] buffer and raggedness is expressed as a
+per-query count of valid cache slots, so rollback is a pure length rewind and
+stale tail slots are masked out (SURVEY.md §3.2 invariant).
+
+Convention: new K/V are appended to the cache BEFORE attention (as the
+reference's update-then-run flow does), so for a decode step the t-th query of
+sequence b may attend to slots [0, len_before[b] + t].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     valid_upto: jax.Array) -> jax.Array:
+    """GQA attention over a fixed-shape cache with per-query slot masks.
+
+    Args:
+      q: [B, T, Hq, D] queries (already rotated).
+      k, v: [B, S, Hkv, D] cache including the freshly appended tokens.
+      valid_upto: [B, T] int32 — query (b, t) attends to slots < valid_upto[b, t].
+
+    Returns: [B, T, Hq, D] in q.dtype; logits and softmax in float32.
+    """
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # [B, T, Hkv, G, S]
+    logits = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * (D ** -0.5)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    mask = slot[None, None, :] < valid_upto[:, :, None]  # [B, T, S]
+    logits = jnp.where(mask[:, :, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bthgs,bshd->bthgd", probs, vf)
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def masked_attention_general(q: jax.Array, k: jax.Array, v: jax.Array,
+                             mask: jax.Array) -> jax.Array:
+    """As masked_attention but with an explicit [B, T, S] bool mask.
+
+    Needed for sink+window (StreamingLLM) draft caches where the valid set is
+    not a slot prefix: sink slots stay valid while evicted-but-uncompacted
+    middle slots must be skipped.
+    """
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    logits = jnp.einsum("bthgd,bshd->bthgs", qf, k.astype(jnp.float32)) * (D ** -0.5)
+    logits = jnp.where(mask[:, :, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bthgs,bshd->bthgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def decode_valid_upto(lengths_before: jax.Array, T: int,
+                      cap: int | None = None) -> jax.Array:
+    """valid_upto for T tokens appended after lengths_before [B] (causal)."""
+    t = jnp.arange(T, dtype=jnp.int32)
+    upto = lengths_before[:, None] + t[None, :] + 1
+    if cap is not None:
+        upto = jnp.minimum(upto, cap)
+    return upto
