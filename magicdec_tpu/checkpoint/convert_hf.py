@@ -39,16 +39,29 @@ def params_from_hf_state_dict(state_dict, config: ModelArgs, dtype=None):
             ws = [w.T for w in ws]
         return np.stack(ws)
 
+    Dh, Hq, Hkv = config.head_dim, config.n_head, config.n_kv_head
+    G = Hq // Hkv
+
     def stack_qkv(kind):  # kind in ("weight", "bias")
+        """Fuse q/k/v KV-HEAD-MAJOR: [qs of group 0 | k0 | v0 | qs of 1 | ...],
+        so a tp shard never splits a GQA group (TP-native wqkv layout)."""
         parts = []
         for i in range(L):
             q = get(f"model.layers.{i}.self_attn.q_proj.{kind}")
             k = get(f"model.layers.{i}.self_attn.k_proj.{kind}")
             v = get(f"model.layers.{i}.self_attn.v_proj.{kind}")
             if kind == "weight":
-                parts.append(np.concatenate([q.T, k.T, v.T], axis=1))
+                D = q.shape[1]
+                qg = q.T.reshape(D, Hkv, G * Dh)
+                kg = k.T.reshape(D, Hkv, Dh)
+                vg = v.T.reshape(D, Hkv, Dh)
+                fused = np.concatenate([qg, kg, vg], axis=2)  # [D,Hkv,(G+2)Dh]
+                parts.append(fused.reshape(D, Hkv * (G + 2) * Dh))
             else:
-                parts.append(np.concatenate([q, k, v], axis=0))
+                qg = q.reshape(Hkv, G * Dh)
+                kg = k.reshape(Hkv, Dh)
+                vg = v.reshape(Hkv, Dh)
+                parts.append(np.concatenate([qg, kg, vg], axis=1).reshape(-1))
         return np.stack(parts)
 
     def stack_gate_up():
@@ -56,7 +69,7 @@ def params_from_hf_state_dict(state_dict, config: ModelArgs, dtype=None):
         for i in range(L):
             g = get(f"model.layers.{i}.mlp.gate_proj.weight")
             u = get(f"model.layers.{i}.mlp.up_proj.weight")
-            ws.append(np.concatenate([g.T, u.T], axis=1))
+            ws.append(np.stack([g.T, u.T], axis=-1))  # [D, I, 2]
         return np.stack(ws)
 
     layers = {

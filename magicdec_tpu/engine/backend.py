@@ -165,7 +165,7 @@ class Engine:
                  max_len: int, spec: Optional[str] = None, draft_budget: int = 0,
                  window_size: int = 32, sink_size: int = 16,
                  draft_headroom: int = 192, prefill_chunk: int = 128,
-                 kv_dtype=None):
+                 kv_dtype=None, mesh=None):
         assert spec in (None, "snapkv", "streaming"), spec
         if spec:
             assert draft_budget > 0
@@ -184,6 +184,7 @@ class Engine:
         self.kv_dtype = kv_dtype
 
         c = config
+        self.mesh = mesh
         self.cache = KVCache.create(c.n_layer, batch_size, max_len,
                                     c.n_kv_head, c.head_dim, kv_dtype)
         self.draft: Optional[DraftKVCache] = None
@@ -191,6 +192,19 @@ class Engine:
             self.draft = DraftKVCache.create(
                 c.n_layer, batch_size, draft_budget + draft_headroom,
                 c.n_kv_head, c.head_dim, kv_dtype)
+        if mesh is not None:
+            from magicdec_tpu.parallel import sharding as shard_lib
+            self.params = shard_lib.shard_params(params, mesh, config)
+            self.cache = shard_lib.shard_cache(self.cache, mesh)
+            if self.draft is not None:
+                self.draft = shard_lib.shard_cache(self.draft, mesh)
+
+    def _tokens(self, t) -> jax.Array:
+        t = jnp.asarray(t, jnp.int32)
+        if self.mesh is not None:
+            from magicdec_tpu.parallel.sharding import shard_tokens
+            t = shard_tokens(t, self.mesh)
+        return t
 
     # -- prefill ------------------------------------------------------------
 
@@ -202,7 +216,7 @@ class Engine:
         cache; StreamingLLM instead gathers its draft cache from the target
         cache afterwards.
         """
-        input_ids = jnp.asarray(input_ids, jnp.int32)
+        input_ids = self._tokens(input_ids)
         B, P = input_ids.shape
         assert B == self.batch_size
         chunk = self.prefill_chunk
@@ -232,19 +246,19 @@ class Engine:
 
     def inference(self, tokens) -> jax.Array:
         out, self.cache = target_decode_step(self.params, self.config,
-                                             self.cache, jnp.asarray(tokens))
+                                             self.cache, self._tokens(tokens))
         return out
 
     def verify(self, tokens) -> jax.Array:
         if self.spec == "snapkv":
             out, self.cache, self.draft = verify_dual_step(
                 self.params, self.config, self.cache, self.draft,
-                jnp.asarray(tokens))
+                self._tokens(tokens))
             return out
         return self.inference(tokens)
 
     def speculate(self, tokens) -> jax.Array:
-        tokens = jnp.asarray(tokens)
+        tokens = self._tokens(tokens)
         if self.spec == "snapkv":
             # absolute position of the first spec token = target len + already
             # speculated count (draft cache holds budget + spec'd tokens)

@@ -11,7 +11,12 @@ engines).
 
 Weights use [in, out] layout so forward matmuls are plain `x @ w` (MXU-friendly,
 no transposes). QKV is fused into one matmul, gate/up into another, mirroring
-the reference's wqkv fusion (Engine/SnapKV/model.py:311-322).
+the reference's wqkv fusion (Engine/SnapKV/model.py:311-322) — but with
+TP-native column ordering: wqkv columns are KV-HEAD-MAJOR
+([q-heads of kv-group 0 | k0 | v0 | q-heads of kv-group 1 | ...]) and gate/up
+are interleaved as [..., I, 2], so sharding the output axis over a `tp` mesh
+axis never splits a GQA group or separates gate from up — the GSPMD analog of
+the reference's KV-head-aware column sharding (Engine/tp.py:36-52).
 
 attn_impl contract:
     attn_impl(q, k, v, cache_layers: tuple[Array, ...])
@@ -54,7 +59,7 @@ def init_params(key: jax.Array, config: ModelArgs, dtype=jnp.float32,
             "wqkv": rnd(ks[1], (L, D, qkv_out)),
             "wo": rnd(ks[2], (L, Hq * Dh, D)),
             "ffn_norm": jnp.ones((L, D), dtype),
-            "w_gate_up": rnd(ks[3], (L, D, 2 * I)),
+            "w_gate_up": rnd(ks[3], (L, D, I, 2)),
             "w_down": rnd(ks[4], (L, I, D)),
         },
         "norm": jnp.ones((D,), dtype),
@@ -66,11 +71,19 @@ def init_params(key: jax.Array, config: ModelArgs, dtype=jnp.float32,
 
 
 def _split_qkv(qkv: jax.Array, config: ModelArgs):
+    """Split KV-head-major fused qkv [B, T, Hkv*(G+2)*Dh] into q/k/v.
+
+    Global q-head index = kv_head * G + g, matching HF's head order and the
+    [B, T, Hkv, G, Dh] grouping the attention oracle uses.
+    """
     B, T = qkv.shape[:2]
     Dh, Hq, Hkv = config.head_dim, config.n_head, config.n_kv_head
-    q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
-    return (q.reshape(B, T, Hq, Dh), k.reshape(B, T, Hkv, Dh),
-            v.reshape(B, T, Hkv, Dh))
+    G = Hq // Hkv
+    grouped = qkv.reshape(B, T, Hkv, (G + 2) * Dh)
+    q = grouped[..., :G * Dh].reshape(B, T, Hq, Dh)
+    k = grouped[..., G * Dh:(G + 1) * Dh]
+    v = grouped[..., (G + 1) * Dh:]
+    return q, k, v
 
 
 def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
@@ -85,9 +98,8 @@ def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
     x = x + ctx @ lp["wo"]
 
     h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
-    gate_up = h @ lp["w_gate_up"]
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    x = x + (jax.nn.silu(gate) * up) @ lp["w_down"]
+    gate_up = jnp.einsum("btd,diz->btiz", h, lp["w_gate_up"])
+    x = x + (jax.nn.silu(gate_up[..., 0]) * gate_up[..., 1]) @ lp["w_down"]
     return x, new_cache_layers
 
 

@@ -1,0 +1,98 @@
+"""GSPMD sharding: mesh construction and NamedShardings for params/caches.
+
+TPU-native replacement for the reference's NCCL tensor parallelism
+(Engine/tp.py): instead of hand-sharding nn.Linear weights and inserting
+all_reduce calls (Engine/tp.py:67-159, Engine/SnapKV/model.py:336-338,459-461),
+we annotate weight and KV-cache shardings over a Mesh("dp", "tp") and let XLA
+emit the per-layer psums on ICI. The KV-head-aware column sharding
+(Engine/tp.py:36-52) is guaranteed by construction: wqkv columns are
+KV-head-major, so a tp shard always owns whole GQA groups. The vocab-sharded
+lm_head + distributed argmax (Engine/SnapKV/model.py:180-189) falls out of
+sharding the output projection's vocab axis.
+
+Axes:
+  dp — batch (sequences); shards the KV cache batch dim and all per-seq state.
+  tp — KV heads / FFN intermediate / vocab.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from magicdec_tpu.models.config import ModelArgs
+
+
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if tp is None:
+        tp = len(devices) // dp
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    # a sub-mesh over the first dp*tp devices is the analog of the reference's
+    # rank_group ⊂ world (tests/SnapKV/longspec_benchmark.py:54-64)
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def validate_tp(config: ModelArgs, tp: int):
+    """The reference distributes remainder KV heads unevenly (tp.py:36-52);
+    we require even divisibility — every config in the registry satisfies it
+    for tp in {1,2,4,8} except MHA models at tp > n_head."""
+    assert config.n_kv_head % tp == 0, (config.n_kv_head, tp)
+    assert config.intermediate_size % tp == 0
+    assert config.vocab_size % tp == 0
+    assert config.dim % tp == 0
+
+
+def param_pspecs(config: ModelArgs) -> dict:
+    layers = {
+        "attn_norm": P(None, None),
+        "wqkv": P(None, None, "tp"),          # [L, D, Hkv*(G+2)*Dh] kv-major
+        "wo": P(None, "tp", None),            # [L, Hq*Dh, D] row-parallel
+        "ffn_norm": P(None, None),
+        "w_gate_up": P(None, None, "tp", None),  # [L, D, I, 2]
+        "w_down": P(None, "tp", None),        # [L, I, D] row-parallel
+    }
+    if config.qkv_bias:
+        layers["bqkv"] = P(None, "tp")
+    return {
+        "tok_embeddings": P("tp", None),      # vocab-parallel embedding
+        "layers": layers,
+        "norm": P(None),
+        "output": None if config.tie_word_embeddings else P(None, "tp"),
+    }
+
+
+def cache_pspec() -> P:
+    """KV caches [L, B, S, Hkv, D]: batch over dp, KV heads over tp."""
+    return P(None, "dp", None, "tp", None)
+
+
+def _tree_shardings(mesh: Mesh, pspecs):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P) or x is None)
+
+
+def shard_params(params, mesh: Mesh, config: ModelArgs):
+    validate_tp(config, mesh.shape["tp"])
+    shardings = _tree_shardings(mesh, param_pspecs(config))
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Shard a KVCache/DraftKVCache pytree (k/v 5-D, int32 per-seq vectors)."""
+    def put(x):
+        if x.ndim == 5:
+            return jax.device_put(x, NamedSharding(mesh, cache_pspec()))
+        return jax.device_put(x, NamedSharding(mesh, P("dp")))
+    return jax.tree.map(put, cache)
+
+
+def shard_tokens(tokens, mesh: Mesh):
+    return jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

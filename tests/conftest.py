@@ -2,18 +2,19 @@
 
 The reference can only test distributed behavior under torchrun on real GPUs
 (SURVEY.md §4); here multi-device tests run anywhere via XLA's host-platform
-device partitioning. Env vars must be set before jax initializes.
+device partitioning. The environment pre-imports jax via sitecustomize with
+JAX_PLATFORMS=axon (the real TPU), so we must override through jax.config
+BEFORE the backend initializes, not through env vars.
+
+Set MAGICDEC_TEST_TPU=1 to run the suite against the real chip instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+import jax
 
-import jax  # noqa: E402
+if os.environ.get("MAGICDEC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,84 @@
+"""Tensor-parallel correctness on a virtual 8-device CPU mesh.
+
+The invariant the reference can never test without 8 GPUs (SURVEY.md §4):
+sharded execution must produce the SAME tokens as single-device execution —
+TP/GSPMD is a layout change, not a numerics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdec_tpu.engine.backend import Engine
+from magicdec_tpu.engine.spec import generate_autoregressive, generate_selfspec
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.models.llama import init_params
+from magicdec_tpu.parallel import sharding as shard_lib
+
+CFG = ModelArgs(block_size=512, vocab_size=512, n_layer=2, n_head=8,
+                n_kv_head=4, dim=128, intermediate_size=256)
+B, PREFIX, MAX_NEW = 4, 64, 16
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG, jnp.float32, scale=0.5)
+
+
+@pytest.fixture(scope="module")
+def prompt():
+    rng = np.random.default_rng(3)
+    return jnp.asarray(rng.integers(0, CFG.vocab_size, size=(B, PREFIX)),
+                       jnp.int32)
+
+
+def test_mesh_construction():
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(AssertionError):
+        shard_lib.make_mesh(dp=3, tp=3)
+
+
+def test_param_sharding_layouts(params):
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    sharded = shard_lib.shard_params(params, mesh, CFG)
+    wqkv = sharded["layers"]["wqkv"]
+    # each tp shard owns whole KV groups: shard width divisible by (G+2)*Dh
+    G = CFG.n_head // CFG.n_kv_head
+    shard_cols = wqkv.sharding.shard_shape(wqkv.shape)[2]
+    assert shard_cols % ((G + 2) * CFG.head_dim) == 0
+    emb = sharded["tok_embeddings"]
+    assert emb.sharding.shard_shape(emb.shape)[0] == CFG.vocab_size // 4
+
+
+def test_tp_baseline_matches_single_device(params, prompt):
+    ref_eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32)
+    ref, _ = generate_autoregressive(ref_eng, prompt, MAX_NEW)
+
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                 mesh=mesh)
+    got, _ = generate_autoregressive(eng, prompt, MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tp_selfspec_matches_single_device(params, prompt):
+    ref_eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                     spec="snapkv", draft_budget=32, window_size=8, sink_size=4)
+    ref, ref_counts, _ = generate_selfspec(ref_eng, prompt, gamma=2,
+                                           max_new_tokens=MAX_NEW)
+
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                 spec="snapkv", draft_budget=32, window_size=8, sink_size=4,
+                 mesh=mesh)
+    got, counts, _ = generate_selfspec(eng, prompt, gamma=2,
+                                       max_new_tokens=MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_validate_tp_rejects_uneven():
+    with pytest.raises(AssertionError):
+        shard_lib.validate_tp(CFG, 3)
