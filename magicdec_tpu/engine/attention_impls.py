@@ -103,14 +103,21 @@ def snapkv_draft_attn(config: ModelArgs, target_positions_base: jax.Array,
 
 
 def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
-                         budget: int, sink: int, attend=None):
+                         evicted: jax.Array, budget: int, sink: int,
+                         attend=None):
     """Draft decode against a StreamingLLM sink+window cache.
 
-    K is stored UNROTATED; every read re-applies rope under remapped positions
-    0..kv_len-1 (sink keeps 0..sink-1, live window follows contiguously) —
-    the reference's prefill_draft/draft position-reassignment trick
-    (Engine/StreamingLLM/model.py:116-157). Queries take the remapped position
-    of their own slot, clamping their effective position to the budget.
+    The reference stores K UNROTATED and re-applies rope at read under
+    remapped positions 0..kv_len-1 (sink keeps 0..sink-1, live window follows
+    contiguously — Engine/StreamingLLM/model.py:116-157). We instead store K
+    ROTATED at its ORIGINAL absolute position (bit-identical to what the
+    target cache holds, so the prefix can be gathered from it exactly) and
+    apply a DELTA rotation at read: rope rotations compose additively
+    (R(a)∘R(b) = R(a+b)), and remap − original = sink − window_start − evicted
+    is one constant per sequence for every window slot (0 for sink slots).
+    When nothing has been evicted the delta is 0 and the read rotation is an
+    exact identity — the budget ≥ context case is bit-exact with the target,
+    which the unrotate/re-rotate scheme cannot achieve in bf16.
 
     cache_layers = (dk, dv) sized [B, size >= budget + slack, Hkv, D].
     """
@@ -120,22 +127,29 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
         dk, dv = cache_layers
         B, T = q.shape[:2]
         size = dk.shape[1]
-        # append UNROTATED k
-        dk, dv = cache_lib.append_layer_kv(dk, dv, k, v, draft_lengths_before)
-        lengths_after = draft_lengths_before + T
-        slot_pos, slot_valid = cache_lib.streaming_positions(
-            lengths_after, size, budget, sink)
-        # rotate the whole (small) cache at remapped positions
-        cos, sin = rope_cos_sin(config, slot_pos)
-        k_rot = apply_rope(dk, cos, sin)
-        # query t lives in slot lengths_before + t; take that slot's position
+        # slot s >= sink of sequence b holds original position evicted[b] + s
+        # (compaction preserves this: it shifts slots and grows evicted by the
+        # same amount); sink slots hold original position s.
         q_slot = draft_lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q_pos = jnp.take_along_axis(slot_pos, q_slot, axis=1)
-        q = rope(config, q, q_pos)
-        # causal: a query may see valid slots up to and including its own
+        k_true_pos = evicted[:, None] + q_slot
+        # append K ROTATED at its true absolute position (target-identical)
+        dk, dv = cache_lib.append_layer_kv(dk, dv, rope(config, k, k_true_pos),
+                                           v, draft_lengths_before)
+        lengths_after = draft_lengths_before + T
+        start = jnp.maximum(sink, lengths_after - (budget - sink))   # [B]
+        delta = sink - start - evicted                               # [B] <= 0
+        # per-slot read rotation: identity on sink slots, R(delta) on window
         slot = jnp.arange(size, dtype=jnp.int32)
+        slot_delta = jnp.where(slot[None, :] < sink, 0, delta[:, None])
+        cos, sin = rope_cos_sin(config, slot_delta)
+        k_read = apply_rope(dk, cos, sin)
+        # queries sit in window slots: remapped position = true + delta
+        q = rope(config, q, evicted[:, None] + q_slot + delta[:, None])
+        # valid = sink slots + live window, causal up to own slot
+        _, slot_valid = cache_lib.streaming_positions(lengths_after, size,
+                                                      budget, sink)
         mask = slot_valid[:, None, :] & (slot[None, None, :] <= q_slot[:, :, None])
-        ctx = attend(q, k_rot, dv, mask)
+        ctx = attend(q, k_read, dv, mask)
         return _flat(ctx), (dk, dv)
 
     return impl

@@ -32,7 +32,6 @@ from magicdec_tpu.engine import attention_impls as impls
 from magicdec_tpu.engine.sampling import argmax_tokens
 from magicdec_tpu.models import llama
 from magicdec_tpu.models.config import ModelArgs
-from magicdec_tpu.ops.rope import rope_cos_sin, apply_rope
 
 
 # ---------------------------------------------------------------------------
@@ -77,9 +76,9 @@ def build_streaming_draft_step(config: ModelArgs, cache: KVCache,
 
     TPU-native shortcut over the reference's separate chunked draft prefill
     (Engine/StreamingLLM/backend.py:233-298): for SELF-speculation the draft
-    shares the target weights, so the sink + recent-window K/V already sit in
-    the target cache — gather them and INVERT rope on K (rotate by -position)
-    to recover the unrotated keys the streaming cache stores.
+    shares the target weights, and the draft cache stores K rotated at its
+    original position (see attention_impls.streaming_draft_attn), so the
+    sink + recent-window K/V can be gathered from the target cache verbatim.
     """
     B = cache.lengths.shape[0]
     keep = jnp.minimum(cache.lengths, budget)            # [B]
@@ -89,13 +88,10 @@ def build_streaming_draft_step(config: ModelArgs, cache: KVCache,
     win_src = cache.lengths[:, None] - (keep[:, None] - slot)
     src = jnp.where(slot < sink, slot, win_src)
     src = jnp.clip(src, 0, cache.max_len - 1)
-    # inverse rope at the ORIGINAL positions of the gathered keys
-    cos, sin = rope_cos_sin(config, src)
 
     def per_layer(k_l, v_l):  # [B, S, H, D]
         take = jax.vmap(lambda a, i: a[i])
-        gk, gv = take(k_l, src), take(v_l, src)
-        return apply_rope(gk, cos, -sin), gv
+        return take(k_l, src), take(v_l, src)
 
     dk, dv = jax.vmap(per_layer)(cache.k, cache.v)
     dk = dk.astype(draft.k.dtype)
@@ -147,8 +143,9 @@ def draft_decode_snapkv_step(params, config: ModelArgs, draft: DraftKVCache,
                    donate_argnames=("draft",))
 def draft_decode_streaming_step(params, config: ModelArgs, draft: DraftKVCache,
                                 tokens, budget: int, sink: int):
-    """One StreamingLLM draft step (unrotated K store, rope-at-read)."""
-    impl = impls.streaming_draft_attn(config, draft.lengths, budget, sink)
+    """One StreamingLLM draft step (original-position K store, delta-rope read)."""
+    impl = impls.streaming_draft_attn(config, draft.lengths, draft.evicted,
+                                      budget, sink)
     logits, (dk, dv) = llama.forward(params, config, tokens, impl,
                                      (draft.k, draft.v))
     new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],

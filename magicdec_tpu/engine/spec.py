@@ -112,7 +112,8 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
     lenT0, lenD0 = cache.lengths, draft.lengths
 
     def step(dk, dv, lens, tokens):
-        impl = impls.streaming_draft_attn(config, lens, budget, sink)
+        impl = impls.streaming_draft_attn(config, lens, draft.evicted, budget,
+                                          sink)
         logits, (dk, dv) = llama.forward(params, config, tokens, impl,
                                          (dk, dv), last_only=True)
         return dk, dv, lens + tokens.shape[1], argmax_tokens(logits)
