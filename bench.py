@@ -40,40 +40,16 @@ def build_engine(config, params, args, spec):
 
 
 def run_autoregressive(engine, input_ids, gen_len):
-    tok = engine.encode(input_ids)
-    toks = 1
-    t_prefill_done = time.perf_counter()
-    while toks < gen_len:
-        tok = engine.inference(tok)
-        toks += 1
-    jax.block_until_ready(tok)
-    dt = time.perf_counter() - t_prefill_done
-    return toks * input_ids.shape[0], dt
+    from magicdec_tpu.engine.spec import generate_autoregressive
+    _, stats = generate_autoregressive(engine, input_ids, gen_len)
+    return stats.generated_tokens, stats.wall_time_s
 
 
 def run_selfspec(engine, input_ids, gen_len, gamma):
-    from magicdec_tpu.engine.spec import snapkv_round
-    B = input_ids.shape[0]
-    buffer0 = engine.encode(input_ids)
-    cap = gen_len + gamma + 2
-    output = jnp.zeros((B, cap), jnp.int32)
-    gen_counts = jnp.zeros((B,), jnp.int32)
-    eot = jnp.asarray([-1, -1], jnp.int32)  # no EOS with random weights
-    t0 = time.perf_counter()
-    rounds = accepted = 0
-    while True:
-        (engine.cache, engine.draft, buffer0, output, gen_counts,
-         info) = snapkv_round(engine.params, engine.config, engine.cache,
-                              engine.draft, buffer0, output, gen_counts,
-                              eot, gamma)
-        rounds += 1
-        accepted += int(info["accepted_drafts"])
-        if int(jnp.min(gen_counts)) >= gen_len:
-            break
-    jax.block_until_ready(output)
-    dt = time.perf_counter() - t0
+    from magicdec_tpu.engine.spec import generate_selfspec
+    _, gen_counts, stats = generate_selfspec(engine, input_ids, gamma, gen_len)
     total = int(jnp.sum(jnp.minimum(gen_counts, gen_len)))
-    return total, dt, accepted / (rounds * B * gamma)
+    return total, stats.wall_time_s, stats.acceptance_rate
 
 
 def main():

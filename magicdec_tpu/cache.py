@@ -9,6 +9,12 @@ TPU-native redesign of the reference's paged KV cache + page tables
   indirection on the hot path, rollback is a pure `lengths` rewind and stale
   tail slots are masked at attention time (SURVEY.md §3.2 invariant).
 
+* K/V are stored PACKED as [L, B, S, Hkv*D]: with head_dim 64 the unpacked
+  [..., Hkv, 64] layout leaves every TPU (8,128) tile half-empty (2x HBM and
+  2x bandwidth waste — measured as a "2.0x expansion" OOM on v5e); the packed
+  minor dimension is a multiple of 128, and reshaping to [..., Hkv, D] at the
+  attention site is a free bitcast (same row-major order).
+
 * Draft caches come in two flavors matching the reference's drafting engines:
   - SnapKV (Engine/SnapKV/model.py:391-445): rotated K at original positions,
     built once at prefill end; verify appends to BOTH caches; rollback rewinds.
@@ -35,7 +41,7 @@ import jax.numpy as jnp
          meta_fields=[])
 @dataclass
 class KVCache:
-    """Target cache. k/v: [L, B, S, Hkv, D]; lengths: [B] valid slots."""
+    """Target cache. k/v: [L, B, S, Hkv*D] (packed); lengths: [B] valid slots."""
     k: jax.Array
     v: jax.Array
     lengths: jax.Array
@@ -43,7 +49,7 @@ class KVCache:
     @staticmethod
     def create(n_layer: int, batch: int, max_len: int, n_kv_head: int,
                head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layer, batch, max_len, n_kv_head, head_dim)
+        shape = (n_layer, batch, max_len, n_kv_head * head_dim)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                        lengths=jnp.zeros((batch,), jnp.int32))
 
@@ -63,7 +69,7 @@ class KVCache:
          data_fields=["k", "v", "lengths", "evicted"], meta_fields=[])
 @dataclass
 class DraftKVCache:
-    """Draft cache (budget-bounded). k/v: [L, B, Sd, Hkv, D].
+    """Draft cache (budget-bounded). k/v: [L, B, Sd, Hkv*D] (packed).
 
     `lengths` counts physical valid slots; `evicted` counts tokens compacted
     away (StreamingLLM only; always 0 for SnapKV). The logical token count seen
@@ -77,7 +83,7 @@ class DraftKVCache:
     @staticmethod
     def create(n_layer: int, batch: int, size: int, n_kv_head: int,
                head_dim: int, dtype=jnp.bfloat16) -> "DraftKVCache":
-        shape = (n_layer, batch, size, n_kv_head, head_dim)
+        shape = (n_layer, batch, size, n_kv_head * head_dim)
         return DraftKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                             lengths=jnp.zeros((batch,), jnp.int32),
                             evicted=jnp.zeros((batch,), jnp.int32))
@@ -91,17 +97,42 @@ class DraftKVCache:
                             self.evicted)
 
 
+def append_at_layer(cache: jax.Array, new: jax.Array, lengths: jax.Array,
+                    l: jax.Array) -> jax.Array:
+    """Scatter new K or V [B, T, H, D] (or packed [B, T, H*D]) into the FULL
+    stacked cache [L, B, S, H*D] at (l, b, lengths[b]+t).
+
+    Writes only B*T*H*D elements. The model's layer scan carries the stacked
+    cache and XLA performs this scatter in place — threading per-layer slices
+    through scan as xs/ys instead would rewrite the whole cache every step
+    (measured ~10x decode slowdown at 16 layers x 8k context).
+    """
+    B, T = new.shape[:2]
+    if new.ndim == 4:
+        new = new.reshape(B, T, -1)
+    new = new.astype(cache.dtype)
+    b_idx = jnp.arange(B)[:, None]
+    s_idx = lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    return cache.at[l, b_idx, s_idx].set(new)
+
+
 def append_layer_kv(cache_k_l: jax.Array, cache_v_l: jax.Array,
                     k_new: jax.Array, v_new: jax.Array,
                     lengths: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Write k_new/v_new [B, T, H, D] at per-sequence offsets into [B, S, H, D].
+    """Write k_new/v_new [B, T, H, D] (or packed [B, T, H*D]) at per-sequence
+    offsets into the packed cache layer [B, S, H*D].
 
     TPU-native replacement for flashinfer append_paged_kv_cache
     (Engine/utils.py:31-66). dynamic_update_slice clamps out-of-range starts,
     so callers must guarantee lengths + T <= S.
     """
+    B, T = k_new.shape[:2]
+    if k_new.ndim == 4:
+        k_new = k_new.reshape(B, T, -1)
+        v_new = v_new.reshape(B, T, -1)
+
     def upd(c, n, l):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (l, 0, 0))
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (l, 0))
     new_k = jax.vmap(upd)(cache_k_l, k_new, lengths)
     new_v = jax.vmap(upd)(cache_v_l, v_new, lengths)
     return new_k, new_v
@@ -160,7 +191,7 @@ def streaming_compact(draft: DraftKVCache, budget: int, sink: int,
         # budget, since then start == sink).
         new_len = jnp.minimum(d.lengths, budget)
 
-        def gather_layer(k_l, v_l):  # [B, S, H, D]
+        def gather_layer(k_l, v_l):  # [B, S, H*D]
             take = jax.vmap(lambda a, i: a[i])  # per-batch gather on slot axis
             return take(k_l, src), take(v_l, src)
 

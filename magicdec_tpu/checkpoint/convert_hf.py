@@ -69,7 +69,7 @@ def params_from_hf_state_dict(state_dict, config: ModelArgs, dtype=None):
         for i in range(L):
             g = get(f"model.layers.{i}.mlp.gate_proj.weight")
             u = get(f"model.layers.{i}.mlp.up_proj.weight")
-            ws.append(np.stack([g.T, u.T], axis=-1))  # [D, I, 2]
+            ws.append(np.stack([g.T, u.T], axis=1))  # [D, 2, I]
         return np.stack(ws)
 
     layers = {

@@ -1,15 +1,22 @@
 """Attention implementations plugged into the model core's layer scan.
 
 Each factory closes over step-invariant metadata (positions, lengths, masks —
-identical for every layer) and returns an `attn_impl(q, k, v, cache_layers)`
-used by models/llama.py. Together these replace the reference's four
-hand-duplicated forward variants (Engine/SnapKV/model.py:173-247 forward /
-verify / draft_forward / prefill) and its flashinfer plan()/run() wrapper pairs
-(Engine/SnapKV/backend.py:41-107): under jit every variant is just a different
-fixed-shape XLA program.
+identical for every layer) and returns an `attn_impl(q, k, v, caches, l)`
+used by models/llama.py: `caches` are FULL stacked [L, B, S, Hkv*D] arrays
+carried in place through the layer scan, `l` the traced layer index. Appends
+are tiny scatters (cache.append_at_layer); reads go either through the Pallas
+flash-decode kernel (which indexes the stacked cache directly via scalar
+prefetch — no layer-slice copy) or the dense XLA oracle.
 
-The `kernels` module argument selects the compute backend: `dense` (XLA oracle,
-runs anywhere) or Pallas TPU kernels with identical semantics.
+Together these replace the reference's four hand-duplicated forward variants
+(Engine/SnapKV/model.py:173-247 forward / verify / draft_forward / prefill)
+and its flashinfer plan()/run() wrapper pairs (Engine/SnapKV/backend.py:41-107):
+under jit every variant is just a different fixed-shape XLA program.
+
+Kernel selection: flash-decode on TPU for decode/verify-sized queries, dense
+XLA otherwise (CPU tests, prefill chunks, the small budget-bounded draft
+caches where a layer copy is cheap). Override per-factory via `attend=` or
+globally via set_attend_mode("dense"|"flash"|"auto").
 """
 
 from __future__ import annotations
@@ -21,7 +28,19 @@ from magicdec_tpu import cache as cache_lib
 from magicdec_tpu.models.config import ModelArgs
 from magicdec_tpu.ops import attention as dense
 from magicdec_tpu.ops import snapkv as snapkv_ops
+from magicdec_tpu.ops.pallas.flash_decode import flash_decode_stacked
 from magicdec_tpu.ops.rope import rope, rope_cos_sin, apply_rope
+
+_ATTEND_MODE = "auto"  # "auto" | "dense" | "flash"
+# flash-decode embeds queries block-diagonally: M = Hkv * T * G rows must
+# stay VMEM-friendly; prefill chunks (T=128) go dense regardless.
+_FLASH_MAX_TG = 64
+
+
+def set_attend_mode(mode: str):
+    global _ATTEND_MODE
+    assert mode in ("auto", "dense", "flash"), mode
+    _ATTEND_MODE = mode
 
 
 def _flat(ctx: jax.Array) -> jax.Array:
@@ -29,24 +48,51 @@ def _flat(ctx: jax.Array) -> jax.Array:
     return ctx.reshape(B, T, H * D)
 
 
+def _unpack(cache_l: jax.Array, config: ModelArgs) -> jax.Array:
+    """[B, S, Hkv*D] packed cache layer -> [B, S, Hkv, D] view (free bitcast:
+    identical row-major order; packing exists only to keep the HBM minor
+    dimension 128-aligned)."""
+    B, S, _ = cache_l.shape
+    return cache_l.reshape(B, S, config.n_kv_head, config.head_dim)
+
+
+def _use_flash(config: ModelArgs, T: int) -> bool:
+    if _ATTEND_MODE == "dense":
+        return False
+    tg = T * (config.n_head // config.n_kv_head)
+    if _ATTEND_MODE == "flash":
+        return True
+    return jax.default_backend() == "tpu" and tg <= _FLASH_MAX_TG
+
+
+def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None):
+    """Ragged prefix attention against stacked caches, kernel-dispatched."""
+    if attend is not None:
+        return attend(q, _unpack(ck[l], config), _unpack(cv[l], config), valid)
+    if _use_flash(config, q.shape[1]):
+        return flash_decode_stacked(q, ck, cv, l, valid)
+    return dense.masked_attention(q, _unpack(ck[l], config),
+                                  _unpack(cv[l], config), valid)
+
+
 def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None):
     """Decode/verify/prefill against the target cache.
 
-    cache_layers = (ck, cv) [B, S, Hkv, D]. Queries sit at absolute positions
-    lengths_before + t; K is rotated before being appended (reference flow:
-    mylib::rope -> update_kv -> attention, Engine/SnapKV/model.py:324-339).
+    caches = (ck, cv) stacked [L, B, S, Hkv*D]. Queries sit at absolute
+    positions lengths_before + t; K is rotated before being appended
+    (reference flow: mylib::rope -> update_kv -> attention,
+    Engine/SnapKV/model.py:324-339).
     """
-    attend = attend or dense.masked_attention
-
-    def impl(q, k, v, cache_layers):
-        ck, cv = cache_layers
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
         T = q.shape[1]
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck, cv = cache_lib.append_layer_kv(ck, cv, k, v, lengths_before)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = attend(q, ck, cv, valid)
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend)
         return _flat(ctx), (ck, cv)
 
     return impl
@@ -58,20 +104,20 @@ def verify_dual_attn(config: ModelArgs, lengths_before: jax.Array,
     k/v into the draft cache (Engine/SnapKV/model.py:340-355 Attention.verify),
     keeping the compressed cache in sync; acceptance then rewinds lengths only.
 
-    cache_layers = (ck, cv, dk, dv).
+    caches = (ck, cv, dk, dv).
     """
-    attend = attend or dense.masked_attention
-
-    def impl(q, k, v, cache_layers):
-        ck, cv, dk, dv = cache_layers
+    def impl(q, k, v, caches, l):
+        ck, cv, dk, dv = caches
         T = q.shape[1]
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck, cv = cache_lib.append_layer_kv(ck, cv, k, v, lengths_before)
-        dk, dv = cache_lib.append_layer_kv(dk, dv, k, v, draft_lengths_before)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+        dk = cache_lib.append_at_layer(dk, k, draft_lengths_before, l)
+        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = attend(q, ck, cv, valid)
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend)
         return _flat(ctx), (ck, cv, dk, dv)
 
     return impl
@@ -86,17 +132,16 @@ def snapkv_draft_attn(config: ModelArgs, target_positions_base: jax.Array,
     + offset) while masking runs in draft-slot coordinates
     (Engine/SnapKV/model.py:211-228 draft_forward).
     """
-    attend = attend or dense.masked_attention
-
-    def impl(q, k, v, cache_layers):
-        dk, dv = cache_layers
+    def impl(q, k, v, caches, l):
+        dk, dv = caches
         T = q.shape[1]
         positions = target_positions_base[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        dk, dv = cache_lib.append_layer_kv(dk, dv, k, v, draft_lengths_before)
+        dk = cache_lib.append_at_layer(dk, k, draft_lengths_before, l)
+        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
         valid = dense.decode_valid_upto(draft_lengths_before, T)
-        ctx = attend(q, dk, dv, valid)
+        ctx = _attend_stacked(config, q, dk, dv, l, valid, attend)
         return _flat(ctx), (dk, dv)
 
     return impl
@@ -119,22 +164,26 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
     exact identity — the budget ≥ context case is bit-exact with the target,
     which the unrotate/re-rotate scheme cannot achieve in bf16.
 
-    cache_layers = (dk, dv) sized [B, size >= budget + slack, Hkv, D].
+    The whole (small, budget-bounded) cache is re-rotated at read (cheap, it
+    is O(budget) by design); the attention itself then runs through the SAME
+    flash kernel as the target/verify path (interval-mask form) so the
+    full-budget case stays bit-exact — or densely when attend= is forced.
+    caches = (dk, dv) sized [L, B, size >= budget + slack, Hkv*D].
     """
-    attend = attend or dense.masked_attention_general
 
-    def impl(q, k, v, cache_layers):
-        dk, dv = cache_layers
+    def impl(q, k, v, caches, l):
+        dk, dv = caches
         B, T = q.shape[:2]
-        size = dk.shape[1]
+        size = dk.shape[2]
         # slot s >= sink of sequence b holds original position evicted[b] + s
         # (compaction preserves this: it shifts slots and grows evicted by the
         # same amount); sink slots hold original position s.
         q_slot = draft_lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         k_true_pos = evicted[:, None] + q_slot
         # append K ROTATED at its true absolute position (target-identical)
-        dk, dv = cache_lib.append_layer_kv(dk, dv, rope(config, k, k_true_pos),
-                                           v, draft_lengths_before)
+        dk = cache_lib.append_at_layer(dk, rope(config, k, k_true_pos),
+                                       draft_lengths_before, l)
+        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
         lengths_after = draft_lengths_before + T
         start = jnp.maximum(sink, lengths_after - (budget - sink))   # [B]
         delta = sink - start - evicted                               # [B] <= 0
@@ -142,14 +191,26 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
         slot = jnp.arange(size, dtype=jnp.int32)
         slot_delta = jnp.where(slot[None, :] < sink, 0, delta[:, None])
         cos, sin = rope_cos_sin(config, slot_delta)
-        k_read = apply_rope(dk, cos, sin)
+        k_read = apply_rope(_unpack(dk[l], config), cos, sin)
         # queries sit in window slots: remapped position = true + delta
         q = rope(config, q, evicted[:, None] + q_slot + delta[:, None])
-        # valid = sink slots + live window, causal up to own slot
-        _, slot_valid = cache_lib.streaming_positions(lengths_after, size,
-                                                      budget, sink)
-        mask = slot_valid[:, None, :] & (slot[None, None, :] <= q_slot[:, :, None])
-        ctx = attend(q, k_read, dv, mask)
+        # valid = sink slots + live window, causal up to own slot:
+        # [0, min(sink, q_slot+1)) ∪ [start, q_slot+1)
+        if attend is None and _use_flash(config, T):
+            from magicdec_tpu.ops.pallas.flash_decode import \
+                flash_decode_intervals
+            Bq = q.shape[0]
+            hi = q_slot + 1
+            ctx = flash_decode_intervals(
+                q, k_read.reshape(Bq, size, -1), dv[l],
+                jnp.minimum(sink, hi), jnp.broadcast_to(start[:, None], hi.shape),
+                hi)
+        else:
+            att = attend or dense.masked_attention_general
+            _, slot_valid = cache_lib.streaming_positions(lengths_after, size,
+                                                          budget, sink)
+            mask = slot_valid[:, None, :] & (slot[None, None, :] <= q_slot[:, :, None])
+            ctx = att(q, k_read, _unpack(dv[l], config), mask)
         return _flat(ctx), (dk, dv)
 
     return impl
@@ -162,27 +223,28 @@ def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
     (reference: Attention.prefill is_last=True -> gen_draft_kv,
     Engine/SnapKV/model.py:383-445).
 
-    cache_layers = (ck, cv, dk, dv); writes the first `budget` slots of dk/dv.
+    caches = (ck, cv, dk, dv); writes the first `budget` slots of dk/dv.
     """
-    attend = attend or dense.masked_attention
-
-    def impl(q, k, v, cache_layers):
-        ck, cv, dk, dv = cache_layers
+    def impl(q, k, v, caches, l):
+        ck, cv, dk, dv = caches
         T = q.shape[1]
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck, cv = cache_lib.append_layer_kv(ck, cv, k, v, lengths_before)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = attend(q, ck, cv, valid)
+        cku, cvu = _unpack(ck[l], config), _unpack(cv[l], config)
+        att = attend or dense.masked_attention
+        ctx = att(q, cku, cvu, valid)
 
-        scores = snapkv_ops.snapkv_scores(q, ck, context_len, window)
-        sel_k, sel_v = snapkv_ops.snapkv_select(scores, ck, cv, context_len,
+        scores = snapkv_ops.snapkv_scores(q, cku, context_len, window)
+        sel_k, sel_v = snapkv_ops.snapkv_select(scores, cku, cvu, context_len,
                                                 budget, window)
-        dk = jax.lax.dynamic_update_slice(
-            dk, sel_k.astype(dk.dtype), (0, 0, 0, 0))
-        dv = jax.lax.dynamic_update_slice(
-            dv, sel_v.astype(dv.dtype), (0, 0, 0, 0))
+        Bq, bud = sel_k.shape[:2]
+        zero = jnp.zeros((Bq,), jnp.int32)
+        dk = cache_lib.append_at_layer(dk, sel_k.reshape(Bq, bud, -1), zero, l)
+        dv = cache_lib.append_at_layer(dv, sel_v.reshape(Bq, bud, -1), zero, l)
         return _flat(ctx), (ck, cv, dk, dv)
 
     return impl

@@ -89,7 +89,7 @@ def build_streaming_draft_step(config: ModelArgs, cache: KVCache,
     src = jnp.where(slot < sink, slot, win_src)
     src = jnp.clip(src, 0, cache.max_len - 1)
 
-    def per_layer(k_l, v_l):  # [B, S, H, D]
+    def per_layer(k_l, v_l):  # [B, S, H*D]
         take = jax.vmap(lambda a, i: a[i])
         return take(k_l, src), take(v_l, src)
 
@@ -182,19 +182,32 @@ class Engine:
 
         c = config
         self.mesh = mesh
-        self.cache = KVCache.create(c.n_layer, batch_size, max_len,
-                                    c.n_kv_head, c.head_dim, kv_dtype)
+        if mesh is not None:
+            from magicdec_tpu.parallel import sharding as shard_lib
+            self.params = shard_lib.shard_params(params, mesh, config)
+        self._create_cache()
         self.draft: Optional[DraftKVCache] = None
         if spec:
             self.draft = DraftKVCache.create(
                 c.n_layer, batch_size, draft_budget + draft_headroom,
                 c.n_kv_head, c.head_dim, kv_dtype)
-        if mesh is not None:
-            from magicdec_tpu.parallel import sharding as shard_lib
-            self.params = shard_lib.shard_params(params, mesh, config)
-            self.cache = shard_lib.shard_cache(self.cache, mesh)
-            if self.draft is not None:
+            if mesh is not None:
+                from magicdec_tpu.parallel import sharding as shard_lib
                 self.draft = shard_lib.shard_cache(self.draft, mesh)
+
+    def _create_cache(self):
+        c = self.config
+        self.cache = KVCache.create(c.n_layer, self.batch_size, self.max_len,
+                                    c.n_kv_head, c.head_dim, self.kv_dtype)
+        if self.mesh is not None:
+            from magicdec_tpu.parallel import sharding as shard_lib
+            self.cache = shard_lib.shard_cache(self.cache, self.mesh)
+
+    def drop_cache(self):
+        """Free the target-cache buffers (recreated at the next encode).
+        Used by LongSpecEngine: a compressed standalone draft only needs its
+        budget cache after prefill."""
+        self.cache = None
 
     def _tokens(self, t) -> jax.Array:
         t = jnp.asarray(t, jnp.int32)
@@ -213,6 +226,8 @@ class Engine:
         cache; StreamingLLM instead gathers its draft cache from the target
         cache afterwards.
         """
+        if self.cache is None:
+            self._create_cache()
         input_ids = self._tokens(input_ids)
         B, P = input_ids.shape
         assert B == self.batch_size
@@ -297,7 +312,9 @@ class Engine:
                 self.draft, self.draft_budget, self.sink_size, trigger)
 
     def clear_kv(self):
-        self.cache = self.cache.set_lengths(jnp.zeros((self.batch_size,), jnp.int32))
+        if self.cache is not None:
+            self.cache = self.cache.set_lengths(
+                jnp.zeros((self.batch_size,), jnp.int32))
         if self.draft is not None:
             zero = jnp.zeros((self.batch_size,), jnp.int32)
             self.draft = DraftKVCache(self.draft.k, self.draft.v, zero, zero)

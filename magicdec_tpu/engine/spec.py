@@ -152,6 +152,127 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
 
 
 # ---------------------------------------------------------------------------
+# Fused whole-generation programs (one device dispatch per generation)
+# ---------------------------------------------------------------------------
+# The reference pays one CUDA-graph launch + flashinfer plan() per draft token
+# plus a host sync per round (tests/SnapKV/selfspec_benchmark.py:150-259). On
+# TPU the entire generation — every round, including acceptance, rollback and
+# termination — runs inside a single jitted lax.while_loop: the host blocks
+# exactly once per batch, so tunnel/dispatch latency is off the critical path.
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens"),
+                   donate_argnames=("cache",))
+def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
+                                  max_new_tokens: int):
+    """Baseline decode: while-loop of 1-token steps, EOS-checked on device.
+
+    Returns (output [B, max_new_tokens], gen_counts [B], new_cache).
+    """
+    B = tok.shape[0]
+    output = jnp.zeros((B, max_new_tokens), jnp.int32)
+    output = output.at[:, 0].set(tok[:, 0])
+
+    def cond(s):
+        step, tok, cache, output, alive = s
+        return (step < max_new_tokens) & jnp.any(alive)
+
+    def body(s):
+        step, tok, cache, output, alive = s
+        impl = impls.target_attn(config, cache.lengths)
+        logits, (ck, cv) = llama.forward(params, config, tok, impl,
+                                         (cache.k, cache.v))
+        nxt = argmax_tokens(logits)
+        cache = KVCache(ck, cv, cache.lengths + jnp.where(alive, 1, 0))
+        output = output.at[:, jnp.minimum(step, max_new_tokens - 1)].set(
+            jnp.where(alive, nxt[:, 0], 0))
+        alive = alive & ~_is_eot(nxt[:, 0], eot)
+        return step + 1, nxt, cache, output, alive
+
+    alive = ~_is_eot(tok[:, 0], eot)
+    step, tok, cache, output, alive = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tok, cache, output, alive))
+    return output, jnp.minimum(step, max_new_tokens) * jnp.ones((B,), jnp.int32), cache
+
+
+def _round_body(round_fn):
+    """Wrap a *_round function as a while_loop body over the generation state."""
+    def body(state):
+        (cache, draft, buffer0, extra, output, gen_counts, rounds, accepted,
+         terminal) = state
+        out = round_fn(cache, draft, buffer0, extra, output, gen_counts)
+        (cache, draft, buffer0, extra, output, gen_counts, info) = out
+        return (cache, draft, buffer0, extra, output, gen_counts,
+                rounds + 1, accepted + info["accepted_drafts"],
+                terminal | info["terminal"])
+    return body
+
+
+def _spec_generate_fused(params, config, cache, draft, buffer0, extra, output,
+                         gen_counts, eot, gamma, max_new_tokens, round_fn):
+    max_len = cache.k.shape[2]
+
+    def cond(state):
+        cache, draft, b0, extra, output, gen_counts, rounds, acc, term = state
+        return (~term
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+
+    state = (cache, draft, buffer0, extra, output, gen_counts,
+             jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    state = jax.lax.while_loop(cond, _round_body(round_fn), state)
+    (cache, draft, buffer0, extra, output, gen_counts, rounds, accepted,
+     terminal) = state
+    # final bonus token
+    B, cap = output.shape
+    idx = jnp.minimum(gen_counts, cap - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    gen_counts = gen_counts + 1
+    return cache, draft, output, gen_counts, rounds, accepted
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gamma", "max_new_tokens"),
+    donate_argnames=("cache", "draft", "output", "gen_counts"))
+def snapkv_generate_fused(params, config, cache: KVCache, draft: DraftKVCache,
+                          buffer0, output, gen_counts, eot, gamma: int,
+                          max_new_tokens: int):
+    def round_fn(cache, draft, b0, extra, output, gen_counts):
+        cache, draft, b0, output, gen_counts, info = snapkv_round(
+            params, config, cache, draft, b0, output, gen_counts, eot, gamma)
+        return cache, draft, b0, extra, output, gen_counts, info
+
+    extra = jnp.zeros((buffer0.shape[0], 0), jnp.int32)
+    (cache, draft, output, gen_counts, rounds, accepted) = _spec_generate_fused(
+        params, config, cache, draft, buffer0, extra, output, gen_counts, eot,
+        gamma, max_new_tokens, round_fn)
+    return cache, draft, output, gen_counts, rounds, accepted
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "gamma", "max_new_tokens", "budget", "sink",
+                     "compact_trigger"),
+    donate_argnames=("cache", "draft", "output", "gen_counts"))
+def streaming_generate_fused(params, config, cache: KVCache,
+                             draft: DraftKVCache, buffer0, last_acc, output,
+                             gen_counts, eot, gamma: int, max_new_tokens: int,
+                             budget: int, sink: int, compact_trigger: int):
+    def round_fn(cache, draft, b0, last_acc, output, gen_counts):
+        draft = cache_lib.streaming_compact(draft, budget, sink,
+                                            compact_trigger)
+        cache, draft, b0, last_acc, output, gen_counts, info = streaming_round(
+            params, config, cache, draft, b0, last_acc, output, gen_counts,
+            eot, gamma, budget, sink)
+        return cache, draft, b0, last_acc, output, gen_counts, info
+
+    (cache, draft, output, gen_counts, rounds, accepted) = _spec_generate_fused(
+        params, config, cache, draft, buffer0, last_acc, output, gen_counts,
+        eot, gamma, max_new_tokens, round_fn)
+    return cache, draft, output, gen_counts, rounds, accepted
+
+
+# ---------------------------------------------------------------------------
 # Host-side generation drivers
 # ---------------------------------------------------------------------------
 
@@ -176,14 +297,30 @@ class SpecStats:
 
 
 def generate_autoregressive(engine: Engine, input_ids, max_new_tokens: int,
-                            eot_ids=()) -> tuple[jax.Array, SpecStats]:
-    """Baseline decode loop (reference tests/baseline_benchmark.py:80-92)."""
+                            eot_ids=(), fused: bool = True
+                            ) -> tuple[jax.Array, SpecStats]:
+    """Baseline decode loop (reference tests/baseline_benchmark.py:80-92).
+
+    fused=True (default) runs the whole decode as one on-device while_loop;
+    fused=False keeps the step-per-dispatch host loop (useful for debugging).
+    Timing starts after prefill, as in the reference.
+    """
     eot = _eot_array(eot_ids)
     tok = engine.encode(input_ids)
     B = tok.shape[0]
-    out = [tok]
     stats = SpecStats()
+    jax.block_until_ready(tok)
     t0 = time.perf_counter()
+    if fused:
+        output, counts, engine.cache = autoregressive_generate_fused(
+            engine.params, engine.config, engine.cache, tok, eot,
+            max_new_tokens)
+        jax.block_until_ready(output)
+        stats.wall_time_s = time.perf_counter() - t0
+        stats.generated_tokens = int(jnp.sum(counts))
+        stats.rounds = int(jnp.max(counts))
+        return output, stats
+    out = [tok]
     for _ in range(max_new_tokens - 1):
         tok = engine.inference(tok)
         out.append(tok)
@@ -202,9 +339,14 @@ def _eot_array(eot_ids) -> jax.Array:
 
 
 def generate_selfspec(engine: Engine, input_ids, gamma: int,
-                      max_new_tokens: int, eot_ids=()) -> tuple[jax.Array, jax.Array, SpecStats]:
+                      max_new_tokens: int, eot_ids=(), fused: bool = True
+                      ) -> tuple[jax.Array, jax.Array, SpecStats]:
     """Self-speculation driver (reference tests/{SnapKV,StreamingLLM}/
     selfspec_benchmark.py). Returns (output [B, cap], gen_counts [B], stats).
+
+    fused=True (default) runs every round inside one on-device while_loop
+    (single host dispatch); fused=False drives round-per-dispatch from the
+    host, syncing on the terminal flag each round like the reference.
     """
     assert engine.spec in ("snapkv", "streaming")
     input_ids = jnp.asarray(input_ids, jnp.int32)
@@ -221,7 +363,28 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
         engine.set_lengths(draft=engine.draft.lengths - 1)
 
     stats = SpecStats()
+    jax.block_until_ready(buffer0)
     t0 = time.perf_counter()
+    if fused:
+        if engine.spec == "snapkv":
+            (engine.cache, engine.draft, output, gen_counts, rounds,
+             accepted) = snapkv_generate_fused(
+                engine.params, engine.config, engine.cache, engine.draft,
+                buffer0, output, gen_counts, eot, gamma, max_new_tokens)
+        else:
+            trigger = engine.draft.size - (engine.draft_headroom // 2)
+            (engine.cache, engine.draft, output, gen_counts, rounds,
+             accepted) = streaming_generate_fused(
+                engine.params, engine.config, engine.cache, engine.draft,
+                buffer0, last_acc, output, gen_counts, eot, gamma,
+                max_new_tokens, engine.draft_budget, engine.sink_size, trigger)
+        jax.block_until_ready(output)
+        stats.wall_time_s = time.perf_counter() - t0
+        stats.rounds = int(rounds)
+        stats.total_drafted = stats.rounds * B * gamma
+        stats.total_accepted_drafts = int(accepted)
+        stats.generated_tokens = int(jnp.sum(gen_counts))
+        return output, gen_counts, stats
     while True:
         if engine.spec == "snapkv":
             (engine.cache, engine.draft, buffer0, output, gen_counts,

@@ -14,9 +14,10 @@ no transposes). QKV is fused into one matmul, gate/up into another, mirroring
 the reference's wqkv fusion (Engine/SnapKV/model.py:311-322) — but with
 TP-native column ordering: wqkv columns are KV-HEAD-MAJOR
 ([q-heads of kv-group 0 | k0 | v0 | q-heads of kv-group 1 | ...]) and gate/up
-are interleaved as [..., I, 2], so sharding the output axis over a `tp` mesh
-axis never splits a GQA group or separates gate from up — the GSPMD analog of
-the reference's KV-head-aware column sharding (Engine/tp.py:36-52).
+are stacked as [..., 2, I] (I minor so HBM tiles stay dense and sharding the I
+axis over a `tp` mesh axis keeps each shard's gate and up together) — the
+GSPMD analog of the reference's KV-head-aware column sharding
+(Engine/tp.py:36-52).
 
 attn_impl contract:
     attn_impl(q, k, v, cache_layers: tuple[Array, ...])
@@ -59,7 +60,7 @@ def init_params(key: jax.Array, config: ModelArgs, dtype=jnp.float32,
             "wqkv": rnd(ks[1], (L, D, qkv_out)),
             "wo": rnd(ks[2], (L, Hq * Dh, D)),
             "ffn_norm": jnp.ones((L, D), dtype),
-            "w_gate_up": rnd(ks[3], (L, D, I, 2)),
+            "w_gate_up": rnd(ks[3], (L, D, 2, I)),
             "w_down": rnd(ks[4], (L, I, D)),
         },
         "norm": jnp.ones((D,), dtype),
@@ -87,32 +88,38 @@ def _split_qkv(qkv: jax.Array, config: ModelArgs):
 
 
 def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
-           cache_layers: tuple):
+           caches: tuple, l: jax.Array):
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP."""
     h = rms_norm(x, lp["attn_norm"], config.norm_eps)
     qkv = h @ lp["wqkv"]
     if "bqkv" in lp:
         qkv = qkv + lp["bqkv"]
     q, k, v = _split_qkv(qkv, config)
-    ctx, new_cache_layers = attn_impl(q, k, v, cache_layers)
+    ctx, caches = attn_impl(q, k, v, caches, l)
     x = x + ctx @ lp["wo"]
 
     h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
-    gate_up = jnp.einsum("btd,diz->btiz", h, lp["w_gate_up"])
-    x = x + (jax.nn.silu(gate_up[..., 0]) * gate_up[..., 1]) @ lp["w_down"]
-    return x, new_cache_layers
+    gate_up = jnp.einsum("btd,dzi->btzi", h, lp["w_gate_up"])
+    x = x + (jax.nn.silu(gate_up[..., 0, :]) * gate_up[..., 1, :]) @ lp["w_down"]
+    return x, caches
 
 
 def run_layers(params: Params, config: ModelArgs, x: jax.Array,
                attn_impl: AttnImpl, cache_arrays: tuple):
-    """Scan the decoder stack. cache_arrays: tuple of [L, ...] arrays threaded
-    through as scan xs -> ys (per-layer slices handed to attn_impl)."""
+    """Scan the decoder stack. cache_arrays: tuple of FULL stacked [L, ...]
+    cache arrays carried through the scan; attn_impl receives (caches, l) and
+    appends via in-place scatters at layer l (cache.append_at_layer). Caches
+    must NOT be threaded as scan xs/ys — that rewrites every layer's full
+    cache each step (see append_at_layer docstring)."""
     def body(carry, xs):
-        lp, cache_layers = xs
-        out, new_cache = _block(carry, lp, config, attn_impl, cache_layers)
-        return out, new_cache
+        x, caches = carry
+        lp, l = xs
+        x, caches = _block(x, lp, config, attn_impl, caches, l)
+        return (x, caches), None
 
-    x, new_caches = jax.lax.scan(body, x, (params["layers"], cache_arrays))
+    (x, new_caches), _ = jax.lax.scan(
+        body, (x, tuple(cache_arrays)),
+        (params["layers"], jnp.arange(config.n_layer, dtype=jnp.int32)))
     return x, new_caches
 
 

@@ -29,21 +29,25 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       k, v: [B, S, Hkv, D] cache including the freshly appended tokens.
       valid_upto: [B, T] int32 — query (b, t) attends to slots < valid_upto[b, t].
 
-    Returns: [B, T, Hq, D] in q.dtype; logits and softmax in float32.
+    Returns: [B, T, Hq, D] in q.dtype; logits and softmax accumulate in
+    float32 but K/V are consumed in their storage dtype — casting the cache
+    to f32 would materialize multi-GB copies and triple the HBM traffic of
+    this (bandwidth-bound) op; the MXU natively accumulates bf16 x bf16 into
+    f32 via preferred_element_type.
     """
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
-    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    qg = q.reshape(B, T, Hkv, G, D)
     # [B, T, Hkv, G, S]
-    logits = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * (D ** -0.5)
+    logits = jnp.einsum("bthgd,bshd->bthgs", qg, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
     slot = jnp.arange(S, dtype=jnp.int32)
     mask = slot[None, None, :] < valid_upto[:, :, None]  # [B, T, S]
     logits = jnp.where(mask[:, :, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bthgs,bshd->bthgd", probs, vf)
+    out = jnp.einsum("bthgs,bshd->bthgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
@@ -58,11 +62,13 @@ def masked_attention_general(q: jax.Array, k: jax.Array, v: jax.Array,
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
-    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
-    logits = jnp.einsum("bthgd,bshd->bthgs", qf, k.astype(jnp.float32)) * (D ** -0.5)
+    qg = q.reshape(B, T, Hkv, G, D)
+    logits = jnp.einsum("bthgd,bshd->bthgs", qg, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
     logits = jnp.where(mask[:, :, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bthgs,bshd->bthgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bthgs,bshd->bthgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 

@@ -1,0 +1,267 @@
+"""Flash-decode: ragged GQA decode attention over the packed KV cache.
+
+TPU-native replacement for the reference's flashinfer
+BatchDecodeWithPagedKVCache path (Engine/SnapKV/backend.py:49-107). XLA's
+fused attention at decode shapes (tiny query count x huge S) runs far below
+HBM roofline (~130 GB/s measured on v5e for B=16, S=8k, GQA 32/8); this
+kernel streams K/V blocks HBM->VMEM and keeps the online softmax state
+(m, l, acc) in VMEM scratch across the S-block grid walk — standard
+flash-decoding.
+
+GQA trick: the cache is packed [S, Hkv*D], and slicing one head's D=64
+columns out of a VMEM block costs lane shuffles on every element (measured
+44 GB/s). Instead the queries are embedded BLOCK-DIAGONALLY into a dense
+[M, Hkv*D] matrix (M = Hkv * T * G rows; row (h, t, g) holds q[t, h*G+g] in
+columns h*D..(h+1)*D, zeros elsewhere): one MXU matmul per K block computes
+every head's logits with K read exactly once and no data rearrangement, at
+the cost of Hkv x redundant FLOPs — irrelevant, the op is bandwidth-bound.
+P@V gets the same treatment in reverse; each row's D live columns are
+extracted outside the kernel. v5e measured: ~8x over the XLA fused path.
+
+Masking: every caller's valid set is expressible as the union of two slot
+intervals [0, a) ∪ [lo, hi) per query row — plain ragged-causal decode uses
+(a=0, lo=0, hi=valid_upto); StreamingLLM sink+window uses (a=sink_end,
+lo=window_start, hi=causal_end). One mask form = one kernel = bit-identical
+numerics between the target/verify path and every draft path, which the
+full-budget acceptance==1.0 invariant depends on.
+
+Serves decode (T=1) and verify (T=gamma+1); prefill chunks (T=128) would need
+M-blocking (VMEM) and are compute-bound anyway — they stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_body(a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr, acc_scr,
+                *, s_real: int, scale: float):
+    """One S-block online-softmax update. a/lo/hi are [M,1] int32 interval
+    bounds (mask = col<a or lo<=col<hi), qd [M,HD], k_blk/v_blk [S_BLK,HD];
+    state lives in VMEM scratch.
+
+    s_real is the true (unpadded) S: a partial final block reads undefined
+    memory, and although masked columns get probability exactly 0, IEEE
+    0 * NaN = NaN would poison the P@V matmul — so out-of-range V rows are
+    zeroed (K needs no cleanup: garbage logits are where()-masked to -inf
+    before they reach max/exp, since the bounds never exceed s_real).
+    """
+    sblk = pl.program_id(1)
+    n_sblk = pl.num_programs(1)
+    S_BLK = k_blk.shape[0]
+    M = qd.shape[0]
+
+    @pl.when(sblk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    col = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (M, S_BLK), 1)
+    mask = (col < a) | ((col >= lo) & (col < hi))        # [M, S_BLK]
+    row = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (S_BLK, 1), 0)
+    v_blk = jnp.where(row < s_real, v_blk, jnp.zeros_like(v_blk))
+
+    s = jax.lax.dot_general(qd, k_blk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, NEG_INF)
+    m_old = m_scr[:]                                     # [M, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)         # [M, S_BLK]
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv                 # [M, Hkv*D]
+
+    @pl.when(sblk == n_sblk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _kernel(a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
+            m_scr, l_scr, acc_scr, *, s_real: int, scale: float):
+    _flash_body(a_ref[0], lo_ref[0], hi_ref[0], qd_ref[0], k_ref[0], v_ref[0],
+                o_ref, m_scr, l_scr, acc_scr, s_real=s_real, scale=scale)
+
+
+def _kernel_stacked(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
+                    m_scr, l_scr, acc_scr, *, s_real: int, scale: float):
+    """Stacked k/v blocks arrive as [1, 1, s_block, HD] (layer picked by the
+    scalar-prefetch index_map); drop the layer dim and reuse the body."""
+    del l_ref
+    _flash_body(a_ref[0], lo_ref[0], hi_ref[0], qd_ref[0], k_ref[0, 0],
+                v_ref[0, 0], o_ref, m_scr, l_scr, acc_scr, s_real=s_real,
+                scale=scale)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _embed_q(q, Hkv, G, D):
+    """[B,T,Hq,D] -> block-diagonal [B, M, HD] plus (TG, TG_pad, eye)."""
+    B, T = q.shape[:2]
+    TG = T * G
+    TG_pad = _round_up(max(TG, 8), 8)
+    q_r = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 1, 3, 4)
+    q_r = q_r.reshape(B, Hkv, TG, D)
+    if TG_pad != TG:
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, TG_pad - TG), (0, 0)))
+    eye = jnp.eye(Hkv, dtype=q.dtype)
+    qd = jnp.einsum("bhtd,hj->bhtjd", q_r, eye).reshape(B, Hkv * TG_pad,
+                                                        Hkv * D)
+    return qd, TG, TG_pad, eye
+
+
+def _expand_rows(x, G, TG, TG_pad, Hkv, pad_value):
+    """Per-query [B, T] int32 -> per-kernel-row [B, M, 1]."""
+    x = jnp.repeat(x, G, axis=1)
+    if TG_pad != TG:
+        x = jnp.pad(x, ((0, 0), (0, TG_pad - TG)), constant_values=pad_value)
+    return jnp.tile(x, (1, Hkv))[:, :, None]
+
+
+def _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye):
+    out = out.reshape(B, Hkv, TG_pad, Hkv, D)
+    out = jnp.einsum("bhtjd,hj->bhtd", out, eye.astype(out.dtype))
+    out = out[:, :, :TG].reshape(B, Hkv, T, G, D).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, Hkv * G, D)
+
+
+@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
+                           s_block: int = 1024, interpret: bool = False):
+    """General two-interval flash decode (flat cache).
+
+    Args:
+      q: [B, T, Hq, D] rotated queries.
+      k_cache, v_cache: [B, S, Hkv*D] packed.
+      sink_end, lo, hi: [B, T] int32 — query (b, t) attends to slots in
+        [0, sink_end) ∪ [lo, hi).
+    """
+    B, T, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    G = Hq // Hkv
+    qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
+    M = Hkv * TG_pad
+    s_block = min(s_block, _round_up(S, 8))
+    # padded rows: empty sink, window [0, 1) keeps their softmax finite
+    a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv, 0)
+    lo_r = _expand_rows(lo, G, TG, TG_pad, Hkv, 0)
+    hi_r = _expand_rows(hi, G, TG, TG_pad, Hkv, 1)
+
+    row_spec = pl.BlockSpec((1, M, 1), lambda b, s: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, s_real=S, scale=D ** -0.5),
+        grid=(B, pl.cdiv(S, s_block)),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, M, HD), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_block, HD), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_block, HD), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, HD), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, HD), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, HD), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_r, lo_r, hi_r, qd, k_cache, v_cache)
+    return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)
+
+
+@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+def flash_decode(q, k_cache, v_cache, valid_upto, *, s_block: int = 1024,
+                 interpret: bool = False):
+    """Ragged-causal flash decode (flat cache): query (b, t) attends to
+    slots < valid_upto[b, t]."""
+    zero = jnp.zeros_like(valid_upto)
+    return flash_decode_intervals(q, k_cache, v_cache, zero, zero, valid_upto,
+                                  s_block=s_block, interpret=interpret)
+
+
+def flash_decode_attend(q, k, v, valid_upto, *, interpret: bool = False):
+    """Adapter with the dense.masked_attention signature: k/v arrive unpacked
+    [B, S, Hkv, D] from the attention impls — reshape back to packed (free)."""
+    B, S, Hkv, D = k.shape
+    return flash_decode(q, k.reshape(B, S, Hkv * D), v.reshape(B, S, Hkv * D),
+                        valid_upto, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache variant: read one layer of [L, B, S, HD] directly from HBM
+# ---------------------------------------------------------------------------
+# The model scans over layers with the FULL cache as an in-place carry
+# (models/llama.py run_layers). Slicing cache[l] on the host side would
+# materialize a layer-sized copy as the kernel operand; instead the traced
+# layer index arrives as a scalar-prefetch argument and the BlockSpec
+# index_map picks blocks straight out of the stacked array.
+
+
+@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
+                         s_block: int = 1024, interpret: bool = False):
+    """As flash_decode, but k_cache/v_cache are stacked [L, B, S, Hkv*D] and
+    `layer` (traced int32 scalar) selects the layer without a copy."""
+    B, T, Hq, D = q.shape
+    L, _, S, HD = k_cache.shape
+    Hkv = HD // D
+    G = Hq // Hkv
+    qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
+    M = Hkv * TG_pad
+    s_block = min(s_block, _round_up(S, 8))
+    zero = jnp.zeros_like(valid_upto)
+    a_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
+    lo_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
+    hi_r = _expand_rows(valid_upto, G, TG, TG_pad, Hkv, 1)
+
+    row_spec = pl.BlockSpec((1, M, 1), lambda b, s, l_ref: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, pl.cdiv(S, s_block)),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, M, HD), lambda b, s, l_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_block, HD),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_block, HD),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, HD), lambda b, s, l_ref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, HD), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, s_real=S, scale=D ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, HD), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
+      k_cache, v_cache)
+    return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)

@@ -51,7 +51,7 @@ def param_pspecs(config: ModelArgs) -> dict:
         "wqkv": P(None, None, "tp"),          # [L, D, Hkv*(G+2)*Dh] kv-major
         "wo": P(None, "tp", None),            # [L, Hq*Dh, D] row-parallel
         "ffn_norm": P(None, None),
-        "w_gate_up": P(None, None, "tp", None),  # [L, D, I, 2]
+        "w_gate_up": P(None, None, None, "tp"),  # [L, D, 2, I]
         "w_down": P(None, "tp", None),        # [L, I, D] row-parallel
     }
     if config.qkv_bias:
@@ -65,8 +65,10 @@ def param_pspecs(config: ModelArgs) -> dict:
 
 
 def cache_pspec() -> P:
-    """KV caches [L, B, S, Hkv, D]: batch over dp, KV heads over tp."""
-    return P(None, "dp", None, "tp", None)
+    """KV caches [L, B, S, Hkv*D] (packed, head-major): batch over dp, the
+    packed head axis over tp — a tp shard gets (Hkv/tp)*D contiguous columns,
+    i.e. whole KV heads."""
+    return P(None, "dp", None, "tp")
 
 
 def _tree_shardings(mesh: Mesh, pspecs):
@@ -82,9 +84,9 @@ def shard_params(params, mesh: Mesh, config: ModelArgs):
 
 
 def shard_cache(cache, mesh: Mesh):
-    """Shard a KVCache/DraftKVCache pytree (k/v 5-D, int32 per-seq vectors)."""
+    """Shard a KVCache/DraftKVCache pytree (k/v 4-D, int32 per-seq vectors)."""
     def put(x):
-        if x.ndim == 5:
+        if x.ndim == 4:
             return jax.device_put(x, NamedSharding(mesh, cache_pspec()))
         return jax.device_put(x, NamedSharding(mesh, P("dp")))
     return jax.tree.map(put, cache)

@@ -9,8 +9,8 @@ from magicdec_tpu.cache import DraftKVCache, KVCache
 
 
 def test_append_ragged_offsets():
-    ck = jnp.zeros((2, 8, 1, 2))
-    cv = jnp.zeros((2, 8, 1, 2))
+    ck = jnp.zeros((2, 8, 2))  # packed layer [B, S, H*D]
+    cv = jnp.zeros((2, 8, 2))
     lengths = jnp.array([1, 3], jnp.int32)
     k_new = jnp.arange(2 * 2 * 1 * 2, dtype=jnp.float32).reshape(2, 2, 1, 2) + 1
     nk, nv = cache_lib.append_layer_kv(ck, cv, k_new, k_new, lengths)
@@ -46,11 +46,11 @@ def test_streaming_positions_under_and_over_budget():
 def test_streaming_compact_gathers_sink_and_window():
     budget, sink = 6, 2
     d = DraftKVCache.create(1, 1, 10, 1, 1)
-    data = jnp.arange(10, dtype=jnp.float32).reshape(1, 1, 10, 1, 1)
+    data = jnp.arange(10, dtype=jnp.float32).reshape(1, 1, 10, 1)
     d = DraftKVCache(data, data, jnp.array([9], jnp.int32),
                      jnp.zeros((1,), jnp.int32))
     out = cache_lib.streaming_compact(d, budget, sink, slack_trigger=8)
-    k = np.asarray(out.k)[0, 0, :, 0, 0]
+    k = np.asarray(out.k)[0, 0, :, 0]
     # sink slots 0,1 kept; window = last (budget-sink)=4 of the 9 entries: 5..8
     assert k[:6].tolist() == [0, 1, 5, 6, 7, 8]
     assert np.asarray(out.lengths).tolist() == [6]
