@@ -26,7 +26,9 @@ from benchmarks import common
 
 def main():
     p = common.add_common_args(argparse.ArgumentParser(description=__doc__))
-    p.add_argument("--spec", choices=["snapkv", "streaming"], default="snapkv")
+    p.add_argument("--spec", default="snapkv",
+                   choices=["snapkv", "streaming", "quest", "retro",
+                            "squeeze"])
     p.add_argument("--gamma", type=int, default=3,
                    help="draft tokens per round (reference --gamma)")
     p.add_argument("--draft_budget", type=int, default=512,

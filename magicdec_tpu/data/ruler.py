@@ -1,0 +1,99 @@
+"""RULER-style synthetic long-context task generators (token-level, hermetic).
+
+Counterpart of the reference's vendored NVIDIA RULER suite
+(Data/Ruler/synthetic/{niah,qa,variable_tracking,common_words_extraction,
+freq_words_extraction}.py, reachable only through the commented-out converter
+data_converter.py:172-206). The reference generates English text through HF
+tokenizers; this environment has no network, so these generators emit TOKEN
+sequences directly with the same task structure — they exercise exactly what
+the benchmarks need (long-context retrieval under KV-budget drafting) and
+need no downloads. Each generator returns (prompts [N, seq_len] int32,
+answers [N, answer_len] int32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_QUERY, _SEP, _BOS = 2, 3, 1  # reserved marker tokens
+
+
+def niah(seq_len: int, num_seqs: int, vocab_size: int = 4096,
+         needle_len: int = 8, seed: int = 0):
+    """Needle-in-a-haystack: a (key, value) pair buried in filler; the prompt
+    ends with [QUERY, key...] and the answer is the value tokens."""
+    rng = np.random.default_rng(seed)
+    prompts = np.empty((num_seqs, seq_len), np.int64)
+    answers = np.empty((num_seqs, needle_len), np.int64)
+    for i in range(num_seqs):
+        hay = rng.integers(16, vocab_size, seq_len)
+        key = rng.integers(16, vocab_size, needle_len)
+        val = rng.integers(16, vocab_size, needle_len)
+        pos = rng.integers(1, seq_len - 4 * needle_len - 4)
+        hay[pos:pos + needle_len] = key
+        hay[pos + needle_len] = _SEP
+        hay[pos + needle_len + 1:pos + 2 * needle_len + 1] = val
+        hay[-(needle_len + 1):-1] = key
+        hay[-needle_len - 2] = _QUERY
+        hay[-1] = _SEP
+        hay[0] = _BOS
+        prompts[i] = hay
+        answers[i] = val
+    return prompts.astype(np.int32), answers.astype(np.int32)
+
+
+def variable_tracking(seq_len: int, num_seqs: int, vocab_size: int = 4096,
+                      chain_len: int = 4, seed: int = 0):
+    """Chains of variable assignments X1 = v, X2 = X1, ...; query the last
+    variable's value."""
+    rng = np.random.default_rng(seed)
+    prompts = np.full((num_seqs, seq_len), 0, np.int64)
+    answers = np.empty((num_seqs, 1), np.int64)
+    for i in range(num_seqs):
+        hay = rng.integers(16, vocab_size, seq_len)
+        names = rng.choice(np.arange(16, vocab_size), chain_len + 1,
+                           replace=False)
+        value = rng.integers(16, vocab_size)
+        positions = np.sort(rng.choice(
+            np.arange(1, seq_len - 8), chain_len, replace=False))
+        for j, p in enumerate(positions):
+            hay[p] = names[j + 1]
+            hay[p + 1] = _SEP
+            hay[p + 2] = names[j] if j > 0 else value
+        hay[-3] = _QUERY
+        hay[-2] = names[chain_len]
+        hay[-1] = _SEP
+        hay[0] = _BOS
+        prompts[i] = hay
+        answers[i] = value
+    return prompts.astype(np.int32), answers.astype(np.int32)
+
+
+def freq_words_extraction(seq_len: int, num_seqs: int, vocab_size: int = 4096,
+                          top_n: int = 3, seed: int = 0):
+    """The prompt is filler with `top_n` tokens planted at elevated
+    frequencies; the answer lists them in frequency order."""
+    rng = np.random.default_rng(seed)
+    prompts = np.empty((num_seqs, seq_len), np.int64)
+    answers = np.empty((num_seqs, top_n), np.int64)
+    for i in range(num_seqs):
+        hay = rng.integers(16, vocab_size, seq_len)
+        special = rng.choice(np.arange(16, vocab_size), top_n, replace=False)
+        for rank, tok in enumerate(special):
+            n = seq_len // 20 * (top_n - rank + 1)
+            hay[rng.choice(np.arange(1, seq_len - 2), n)] = tok
+        hay[-2] = _QUERY
+        hay[-1] = _SEP
+        hay[0] = _BOS
+        prompts[i] = hay
+        answers[i] = special
+    return prompts.astype(np.int32), answers.astype(np.int32)
+
+
+TASKS = {"niah": niah, "variable_tracking": variable_tracking,
+         "freq_words_extraction": freq_words_extraction}
+
+
+def prepare(task: str, seq_len: int, num_seqs: int, **kw):
+    """RULER prepare.py analog: dispatch by task name."""
+    return TASKS[task](seq_len, num_seqs, **kw)

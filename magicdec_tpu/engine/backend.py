@@ -161,23 +161,34 @@ class Engine:
     def __init__(self, config: ModelArgs, params, *, batch_size: int,
                  max_len: int, spec: Optional[str] = None, draft_budget: int = 0,
                  window_size: int = 32, sink_size: int = 16,
-                 draft_headroom: int = 192, prefill_chunk: int = 128,
-                 kv_dtype=None, mesh=None):
-        assert spec in (None, "snapkv", "streaming"), spec
+                 latest_k: int = 128, draft_headroom: int = 192,
+                 prefill_chunk: int = 128, kv_dtype=None, mesh=None,
+                 retro_clusters: int = 0, retro_cap: int = 32,
+                 squeeze_threshold: float = 0.01):
+        assert spec in (None, "snapkv", "streaming", "quest", "retro",
+                        "squeeze"), spec
         if spec:
             assert draft_budget > 0
         self.config = config
         self.params = params
         self.batch_size = batch_size
-        self.max_len = max_len
+        # page/tile alignment (also Quest's page-metadata granularity)
+        self.max_len = -(-max_len // 128) * 128
         self.spec = spec
         self.draft_budget = draft_budget
         self.window_size = window_size
         self.sink_size = sink_size
+        self.latest_k = latest_k
+        self.retro_cap = retro_cap
+        # reference config: n_clusters = ctx/16 (RetrievalAttention
+        # benchmark/config.py:17-56)
+        self.retro_clusters = retro_clusters or max(max_len // 16, 8)
+        self.squeeze_threshold = squeeze_threshold
         self.prefill_chunk = prefill_chunk
         self.draft_headroom = draft_headroom
         if kv_dtype is None:
-            kv_dtype = params["layers"]["wqkv"].dtype
+            w = params["layers"]["wqkv"]
+            kv_dtype = w.dtype if hasattr(w, "dtype") else jnp.bfloat16
         self.kv_dtype = kv_dtype
 
         c = config
@@ -187,7 +198,8 @@ class Engine:
             self.params = shard_lib.shard_params(params, mesh, config)
         self._create_cache()
         self.draft: Optional[DraftKVCache] = None
-        if spec:
+        # quest/retro/squeeze draft straight out of the target cache
+        if spec and spec not in ("quest", "retro", "squeeze"):
             self.draft = DraftKVCache.create(
                 c.n_layer, batch_size, draft_budget + draft_headroom,
                 c.n_kv_head, c.head_dim, kv_dtype)

@@ -1,0 +1,241 @@
+"""Quest-style drafting: query-aware top-k KV page selection.
+
+TPU-native re-design of the fork's Quest engine (Engine/Quest, an empty
+submodule of mit-han-lab/Quest in the reference; its interface is known from
+the callers tests/Quest/selfspec_benchmark.py:14,80-86 and
+tests/selfspec_benchmark_common.py:14,166-167,262-265 — load_draft_model(
+draft_budget, chunk_size, bsz, max_len, latest_k), speculate(tok, bsz, gamma),
+verify, draft_kv_update(accepted)).
+
+Method: the target cache is viewed as pages of `page` slots;每 page and KV
+head keeps elementwise min/max key boxes. A draft step scores every page with
+the upper bound sum_d max(q_d*kmin_d, q_d*kmax_d) (summed over the GQA group),
+always includes the most recent `latest_k` slots' pages, attends only to the
+top budget/page pages, and appends its K/V into the TARGET cache tail — the
+verify pass overwrites those slots with full-attention activations (same
+positions), so acceptance rollback stays a pure length rewind and no separate
+draft cache exists at all.
+
+Pages here are a SCORING granularity, not a memory layout: the cache stays
+the flat packed [L, B, S, Hkv*D] buffer, so no page tables, and the gather of
+selected pages feeds a dense attention over O(budget) keys — the draft's
+memory traffic is O(budget + metadata) with metadata = cache/page size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu import cache as cache_lib
+from magicdec_tpu.cache import KVCache
+from magicdec_tpu.engine.sampling import argmax_tokens
+from magicdec_tpu.models import llama
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops import attention as dense
+from magicdec_tpu.ops.rope import rope
+
+NEG_INF = -1e30
+
+
+def make_page_meta(cache: KVCache, page: int = 128):
+    """Per-page/per-KV-head elementwise key boxes from the full cache.
+
+    Returns (kmin, kmax) [L, B, P, Hkv*D] float32; slots beyond each
+    sequence's length contribute +inf/-inf-neutral values so stale tails
+    never attract selection.
+    """
+    L, B, S, HD = cache.k.shape
+    P = S // page
+    kf = cache.k.reshape(L, B, P, page, HD).astype(jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32).reshape(P, page)
+    valid = slot[None, :, :] < cache.lengths[:, None, None]      # [B, P, page]
+    big = jnp.float32(3e38)
+    kmin = jnp.min(jnp.where(valid[None, ..., None], kf, big), axis=3)
+    kmax = jnp.max(jnp.where(valid[None, ..., None], kf, -big), axis=3)
+    return kmin, kmax
+
+
+def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
+                     kmin, kmax, *, n_pages: int, latest_pages: int,
+                     page: int = 128):
+    """attn_impl for one Quest draft step (T small).
+
+    caches = (ck, cv); kmin/kmax are the stacked [L, B, P, Hkv*D] boxes
+    (read-only during speculation — fresh spec tokens live in the forced
+    recent pages, so their metadata is not needed).
+    """
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    G = config.n_head // Hkv
+
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
+        B, T = q.shape[:2]
+        S = ck.shape[2]
+        P = S // page
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+
+        # ---- page scores: sum_{g,d} max(q*kmin, q*kmax), [B, Hkv, P] -------
+        qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
+        mn = kmin[l].reshape(B, P, Hkv, Dh)
+        mx = kmax[l].reshape(B, P, Hkv, Dh)
+        lo = jnp.einsum("bthgd,bphd->bthgp", qg, mn)
+        hi = jnp.einsum("bthgd,bphd->bthgp", qg, mx)
+        scores = jnp.sum(jnp.maximum(lo, hi), axis=3)[:, -1]     # [B, Hkv, P]
+        # forced-recent pages and not-yet-written pages are excluded from
+        # top-k (recent pages are appended separately below)
+        last_page = (lengths_before + T - 1) // page             # [B]
+        recent_lo = jnp.maximum(last_page - (latest_pages - 1), 0)
+        pid = jnp.arange(P, dtype=jnp.int32)
+        selectable = (pid[None, :] < recent_lo[:, None])
+        scores = jnp.where(selectable[:, None, :], scores, NEG_INF)
+        _, top_pages = jax.lax.top_k(scores, n_pages)            # [B, Hkv, n]
+        # append the forced recent pages (per sequence, same for all heads)
+        recent = recent_lo[:, None] + jnp.arange(latest_pages, dtype=jnp.int32)[None, :]
+        recent = jnp.broadcast_to(recent[:, None, :], (B, Hkv, latest_pages))
+        pages = jnp.concatenate([top_pages, recent], axis=2)     # [B,Hkv,n+r]
+
+        # ---- gather selected pages per (b, kv-head) ------------------------
+        slot_sel = (pages[..., None] * page
+                    + jnp.arange(page, dtype=jnp.int32)).reshape(B, Hkv, -1)
+        kv = ck[l].reshape(B, S, Hkv, Dh)
+        vv = cv[l].reshape(B, S, Hkv, Dh)
+        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
+        k_sel = take(kv, slot_sel)                               # [B,Hkv,Ssel,Dh]
+        v_sel = take(vv, slot_sel)
+
+        # ---- dense attention over the selected slots -----------------------
+        upto = dense.decode_valid_upto(lengths_before, T)        # [B, T]
+        mask = slot_sel[:, None, :, :] < upto[:, :, None, None]  # [B,T,Hkv,Ssel]
+        logits = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
+                            k_sel, preferred_element_type=jnp.float32)
+        logits = logits * (Dh ** -0.5)
+        logits = jnp.where(mask[:, :, :, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype)
+        return ctx, (ck, cv)
+
+    return impl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "gamma", "budget", "latest_k", "page"),
+    donate_argnames=("cache", "output", "gen_counts"))
+def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
+                buffer0, output, gen_counts, eot, gamma: int, budget: int,
+                latest_k: int, page: int = 128):
+    """One Quest self-speculation round: gamma sparse-page draft steps +
+    full-attention verify; spec K/V live in (and are overwritten in) the
+    target cache, so rollback is the usual length rewind."""
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.spec import _accept_and_update
+
+    lenT0 = cache.lengths
+    n_pages = max(budget // page - latest_k // page, 1)
+    latest_pages = max(latest_k // page, 1)
+
+    def draft_body(carry, i):
+        ck, cv, lens, tok = carry
+        impl = quest_draft_attn(config, lens, kmin, kmax, n_pages=n_pages,
+                                latest_pages=latest_pages, page=page)
+        logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
+                                         last_only=True)
+        nxt = argmax_tokens(logits)
+        return (ck, cv, lens + 1, nxt), nxt
+
+    (ck, cv, _, _), drafted = jax.lax.scan(
+        draft_body, (cache.k, cache.v, lenT0, buffer0),
+        jnp.arange(gamma, dtype=jnp.int32))
+    buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+
+    # verify with full attention, overwriting the draft-written slots
+    impl = impls.target_attn(config, lenT0)
+    logits, (ck, cv) = llama.forward(params, config, buffer, impl, (ck, cv))
+    target_tokens = argmax_tokens(logits)
+
+    accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
+        buffer, target_tokens, eot, gamma, output, gen_counts)
+    new_cache = KVCache(ck, cv, lenT0 + accept)
+    return (new_cache, bonus, output, gen_counts,
+            dict(terminal=terminal, accepted_drafts=accepted,
+                 accept_nums=accept))
+
+
+def update_page_meta(cache: KVCache, kmin, kmax, span_start, span: int,
+                     page: int = 128):
+    """Incrementally recompute the boxes of the pages covering
+    [span_start, span_start + span) per sequence — the region a round's
+    draft+verify writes touched (at most gamma+1 slots, so 2-3 pages). Reads
+    O(pages * page) of cache instead of the whole thing, keeping the
+    metadata maintenance cost O(budget)-ish per round."""
+    L, B, S, HD = cache.k.shape
+    P = S // page
+    W = span // page + 2
+    start_page = jnp.clip(span_start // page, 0, P - W)          # [B]
+    pidx = start_page[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    kp = cache.k.reshape(L, B, P, page, HD)
+    take_b = jax.vmap(lambda a, i: a[:, i], (1, 0), 1)           # over B
+    kwin = take_b(kp, pidx).astype(jnp.float32)                  # [L,B,W,page,HD]
+    slot = (pidx[..., None] * page
+            + jnp.arange(page, dtype=jnp.int32)).reshape(B, W, page)
+    valid = slot < cache.lengths[:, None, None]
+    big = jnp.float32(3e38)
+    wmin = jnp.min(jnp.where(valid[None, ..., None], kwin, big), axis=3)
+    wmax = jnp.max(jnp.where(valid[None, ..., None], kwin, -big), axis=3)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    kmin = kmin.at[:, b_idx, pidx].set(wmin)
+    kmax = kmax.at[:, b_idx, pidx].set(wmax)
+    return kmin, kmax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "gamma", "max_new_tokens", "budget",
+                     "latest_k", "page"),
+    donate_argnames=("cache", "output", "gen_counts"))
+def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
+                         output, gen_counts, eot, gamma: int,
+                         max_new_tokens: int, budget: int, latest_k: int,
+                         page: int = 128):
+    """Full Quest self-spec generation as one on-device while_loop: rounds of
+    quest_round + incremental page-metadata refresh of the touched window."""
+    max_len = cache.k.shape[2]
+    kmin, kmax = make_page_meta(cache, page)
+
+    def cond(state):
+        cache = state[0]
+        gen_counts, terminal = state[5], state[8]
+        return (~terminal
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+
+    def body(state):
+        (cache, kmin, kmax, buffer0, output, gen_counts, rounds, accepted,
+         terminal) = state
+        lenT0 = cache.lengths
+        cache, buffer0, output, gen_counts, info = quest_round(
+            params, config, cache, kmin, kmax, buffer0, output, gen_counts,
+            eot, gamma, budget, latest_k, page)
+        kmin, kmax = update_page_meta(cache, kmin, kmax, lenT0, gamma + 1,
+                                      page)
+        return (cache, kmin, kmax, buffer0, output, gen_counts, rounds + 1,
+                accepted + info["accepted_drafts"],
+                terminal | info["terminal"])
+
+    state = (cache, kmin, kmax, buffer0, output, gen_counts, jnp.int32(0),
+             jnp.int32(0), jnp.bool_(False))
+    state = jax.lax.while_loop(cond, body, state)
+    (cache, kmin, kmax, buffer0, output, gen_counts, rounds, accepted,
+     terminal) = state
+    B, cap = output.shape
+    idx = jnp.minimum(gen_counts, cap - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    return cache, output, gen_counts + 1, rounds, accepted

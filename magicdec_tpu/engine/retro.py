@@ -1,0 +1,256 @@
+"""RetroInfer-style drafting: clustered-KV ("wave index") attention.
+
+TPU-native re-design of the fork's RetrievalAttention engine
+(Engine/RetrievalAttention/: Triton segment k-means cache_hub/kmeans.py:224,
+centroid scoring with CUTLASS batch_gemm_softmax + top-nprobe cluster gather
+via gather_copy CUDA kernels + WaveBufferCPU host store, combined with a
+steady zone — retroinfer_cache.py:349,540).
+
+Differences by design, not translation:
+  * The cluster store is an INDEX (per-cluster slot lists into the flat
+    packed cache), not a second copy of K/V: a draft step scores centroids,
+    takes the top-nprobe clusters per KV head, gathers their members' K/V
+    from the target cache ON DEVICE, and runs dense attention over
+    O(nprobe * cap) keys plus the forced recent window — draft HBM traffic
+    is O(budget), the MagicDec property.
+  * Speculated tokens ride the target-cache tail (verify overwrites the same
+    slots, rollback = length rewind), exactly like the Quest engine.
+  * The host-offload variant stores cluster K/V bytes in the native
+    HostWaveBuffer (C++ threadpool gather, engine/wave_buffer.py) so contexts
+    can exceed HBM; see HostClusterStore below. The hot self-spec path stays
+    on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicdec_tpu import cache as cache_lib
+from magicdec_tpu.cache import KVCache
+from magicdec_tpu.engine.sampling import argmax_tokens
+from magicdec_tpu.models import llama
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops.kmeans import kmeans
+from magicdec_tpu.ops.rope import rope
+
+NEG_INF = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_clusters", "cap"))
+def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
+                        cap: int):
+    """Cluster every (layer, sequence, KV head)'s keys.
+
+    Returns (centroids [L,B,Hkv,C,D] f32, slots [L,B,Hkv,C,cap] int32 with -1
+    padding). cap bounds cluster size; overflow members are dropped from the
+    index (scoring remains sound — they are recoverable only through other
+    clusters — matching the reference's fixed n_clusters = ctx/16 sizing
+    where overflow is rare).
+    """
+    L, B, S, HD = cache.k.shape
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    k = cache.k.reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    valid = (slot[None, :] < cache.lengths[:, None]).astype(jnp.float32)
+    valid = jnp.broadcast_to(valid[None, :, None, :], (L, B, Hkv, S))
+    cent, assign = kmeans(k, valid, n_clusters)            # [...,C,D], [...,S]
+
+    # per-cluster member slots, capped: rank each slot within its cluster by
+    # slot order, then scatter slot ids into the [C, cap] table
+    onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.int32)
+    onehot = onehot * valid.astype(jnp.int32)[..., None]   # [L,B,H,S,C]
+    rank = jnp.cumsum(onehot, axis=-2) - 1                 # member index
+    member_rank = jnp.take_along_axis(rank, assign[..., None],
+                                      axis=-1)[..., 0]     # [L,B,H,S]
+    is_member = jnp.take_along_axis(onehot, assign[..., None],
+                                    axis=-1)[..., 0] > 0
+    ok = is_member & (member_rank < cap)
+    flat_target = jnp.where(ok, assign * cap + member_rank, n_clusters * cap)
+
+    def scatter_slots(ft):
+        out = jnp.full((n_clusters * cap,), -1, jnp.int32)
+        return out.at[ft].set(slot, mode="drop")
+
+    slots = jax.vmap(jax.vmap(jax.vmap(scatter_slots)))(flat_target)
+    return cent, slots.reshape(L, B, Hkv, n_clusters, cap)
+
+
+def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
+                     centroids, cluster_slots, *, nprobe: int, recent: int):
+    """attn_impl for one RetroInfer-style draft step.
+
+    caches = (ck, cv); centroids [L,B,Hkv,C,D], cluster_slots [L,B,Hkv,C,cap].
+    Selected-cluster members + the recent window are gathered from the target
+    cache and attended densely.
+    """
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    G = config.n_head // Hkv
+
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
+        B, T = q.shape[:2]
+        S = ck.shape[2]
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+
+        # ---- centroid scores (reference: batch_gemm_softmax over centroids)
+        qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
+        cent = centroids[l]                                # [B,Hkv,C,D]
+        logits = jnp.einsum("bthgd,bhcd->bthgc", qg, cent)
+        scores = jnp.sum(jax.nn.softmax(logits * (Dh ** -0.5), -1),
+                         axis=(1, 3))                      # [B,Hkv,C]
+        _, top_c = jax.lax.top_k(scores, nprobe)           # [B,Hkv,nprobe]
+
+        # ---- gather selected clusters' member slots ------------------------
+        cs = cluster_slots[l]                              # [B,Hkv,C,cap]
+        take_c = jax.vmap(jax.vmap(lambda a, i: a[i]))
+        sel = take_c(cs, top_c).reshape(B, Hkv, -1)        # [B,Hkv,nprobe*cap]
+        # forced recent window (covers the spec tokens written this round)
+        rec = (lengths_before[:, None] + T - recent
+               + jnp.arange(recent, dtype=jnp.int32)[None, :])
+        rec = jnp.broadcast_to(rec[:, None, :], (B, Hkv, recent))
+        slot_sel = jnp.concatenate([sel, rec], axis=2)     # [B,Hkv,Ssel]
+        member_ok = slot_sel >= 0
+        slot_gather = jnp.clip(slot_sel, 0, S - 1)
+
+        kv = ck[l].reshape(B, S, Hkv, Dh)
+        vv = cv[l].reshape(B, S, Hkv, Dh)
+        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
+        k_sel = take(kv, slot_gather)                      # [B,Hkv,Ssel,Dh]
+        v_sel = take(vv, slot_gather)
+
+        from magicdec_tpu.ops.attention import decode_valid_upto
+        upto = decode_valid_upto(lengths_before, T)
+        mask = (member_ok[:, None] & (slot_gather[:, None] < upto[:, :, None, None]))
+        att = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
+                         k_sel, preferred_element_type=jnp.float32)
+        att = att * (Dh ** -0.5)
+        att = jnp.where(mask[:, :, :, None, :], att, NEG_INF)
+        probs = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype), (ck, cv)
+
+    return impl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
+                     "nprobe", "recent"),
+    donate_argnames=("cache", "output", "gen_counts"))
+def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
+                         output, gen_counts, eot, gamma: int,
+                         max_new_tokens: int, n_clusters: int, cap: int,
+                         nprobe: int, recent: int):
+    """Full RetroInfer-style self-spec generation in one while_loop. The
+    cluster index is built once from the prefill cache; freshly generated
+    tokens are covered by the forced recent window (the reference similarly
+    rebuilds its wave index only at prefill)."""
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.spec import _accept_and_update
+
+    max_len = cache.k.shape[2]
+    centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
+                                                   cap)
+
+    def cond(state):
+        cache, gen_counts, terminal = state[0], state[3], state[6]
+        return (~terminal
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+
+    def body(state):
+        cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
+        lenT0 = cache.lengths
+
+        def draft_body(carry, i):
+            ck, cv, lens, tok = carry
+            impl = retro_draft_attn(config, lens, centroids, cluster_slots,
+                                    nprobe=nprobe, recent=recent)
+            logits, (ck, cv) = llama.forward(params, config, tok, impl,
+                                             (ck, cv), last_only=True)
+            nxt = argmax_tokens(logits)
+            return (ck, cv, lens + 1, nxt), nxt
+
+        (ck, cv, _, _), drafted = jax.lax.scan(
+            draft_body, (cache.k, cache.v, lenT0, buffer0),
+            jnp.arange(gamma, dtype=jnp.int32))
+        buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+
+        impl = impls.target_attn(config, lenT0)
+        logits, (ck, cv) = llama.forward(params, config, buffer, impl,
+                                         (ck, cv))
+        target_tokens = argmax_tokens(logits)
+        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
+            buffer, target_tokens, eot, gamma, output, gen_counts)
+        cache = KVCache(ck, cv, lenT0 + accept)
+        return (cache, bonus, output, gen_counts, rounds + 1, accepted + acc,
+                terminal | term)
+
+    state = (cache, buffer0, output, gen_counts, jnp.int32(0), jnp.int32(0),
+             jnp.bool_(False))
+    state = jax.lax.while_loop(cond, body, state)
+    cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
+    B, capo = output.shape
+    idx = jnp.minimum(gen_counts, capo - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    return cache, output, gen_counts + 1, rounds, accepted
+
+
+class HostClusterStore:
+    """Offload variant: cluster K/V bytes live in the native host wave buffer
+    (one slot per (layer, sequence, head, cluster)); gather_clusters pulls the
+    selected clusters into a contiguous staging array for device upload.
+
+    This is the capacity path (contexts larger than HBM): the reference keeps
+    full KV in CPU pinned memory with GPU-side centroids
+    (retroinfer_cache.py:1-12). Selection still happens on device from the
+    centroids; only member K/V bytes live on the host.
+    """
+
+    def __init__(self, config: ModelArgs, cache: KVCache, cluster_slots,
+                 cap: int):
+        from magicdec_tpu.engine.wave_buffer import HostWaveBuffer
+
+        L, B, S, HD = cache.k.shape
+        Hkv, Dh = config.n_kv_head, config.head_dim
+        C = cluster_slots.shape[3]
+        self.shape = (L, B, Hkv, C, cap, Dh)
+        itemsize = jnp.dtype(cache.k.dtype).itemsize
+        slot_bytes = cap * Dh * 2 * itemsize                # K and V blocks
+        self.buf = HostWaveBuffer(L * B * Hkv * C, slot_bytes)
+        # materialize clustered K/V once (host-side numpy gather)
+        k = np.asarray(cache.k).reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
+        v = np.asarray(cache.v).reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
+        cs = np.asarray(cluster_slots)                      # [L,B,H,C,cap]
+        csc = np.clip(cs, 0, S - 1)
+        # straightforward gather loop over L*B*H (prefill-time, host-side)
+        blocks = np.empty((L, B, Hkv, C, 2, cap, Dh), k.dtype)
+        for li in range(L):
+            for bi in range(B):
+                for hi in range(Hkv):
+                    sel = csc[li, bi, hi]                  # [C, cap]
+                    blocks[li, bi, hi, :, 0] = k[li, bi, hi][sel]
+                    blocks[li, bi, hi, :, 1] = v[li, bi, hi][sel]
+        self.member_valid = cs >= 0
+        self.buf.put(0, blocks.reshape(L * B * Hkv * C, -1))
+        self.dtype = k.dtype
+        self.cap, self.Dh, self.C = cap, Dh, C
+
+    def gather_clusters(self, layer: int, top_c: np.ndarray) -> np.ndarray:
+        """top_c [B, Hkv, nprobe] -> K/V blocks [B, Hkv, nprobe, 2, cap, Dh]."""
+        L, B, Hkv, C = self.shape[0], self.shape[1], self.shape[2], self.C
+        base = (layer * B * Hkv)
+        ids = ((base + np.arange(B)[:, None, None] * Hkv
+                + np.arange(Hkv)[None, :, None]) * C + top_c).reshape(-1)
+        out = self.buf.gather(ids.astype(np.int64))
+        return out.view(self.dtype).reshape(B, Hkv, top_c.shape[-1], 2,
+                                            self.cap, self.Dh)

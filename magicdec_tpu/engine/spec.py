@@ -348,7 +348,7 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
     (single host dispatch); fused=False drives round-per-dispatch from the
     host, syncing on the terminal flag each round like the reference.
     """
-    assert engine.spec in ("snapkv", "streaming")
+    assert engine.spec in ("snapkv", "streaming", "quest", "retro", "squeeze")
     input_ids = jnp.asarray(input_ids, jnp.int32)
     B, P = input_ids.shape
     eot = _eot_array(eot_ids)
@@ -366,6 +366,42 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
     jax.block_until_ready(buffer0)
     t0 = time.perf_counter()
     if fused:
+        if engine.spec in ("quest", "retro", "squeeze"):
+            if engine.spec == "squeeze":
+                from magicdec_tpu.engine.squeeze import squeeze_generate_fused
+                recent = engine.latest_k
+                max_clusters = max(
+                    (engine.draft_budget - recent) // engine.retro_cap, 1)
+                (engine.cache, output, gen_counts, rounds,
+                 accepted) = squeeze_generate_fused(
+                    engine.params, engine.config, engine.cache, buffer0,
+                    output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.retro_clusters, engine.retro_cap, max_clusters,
+                    engine.squeeze_threshold, recent)
+            elif engine.spec == "quest":
+                from magicdec_tpu.engine.quest import quest_generate_fused
+                (engine.cache, output, gen_counts, rounds,
+                 accepted) = quest_generate_fused(
+                    engine.params, engine.config, engine.cache, buffer0,
+                    output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.draft_budget, engine.latest_k)
+            else:
+                from magicdec_tpu.engine.retro import retro_generate_fused
+                recent = engine.latest_k
+                nprobe = max((engine.draft_budget - recent) // engine.retro_cap,
+                             1)
+                (engine.cache, output, gen_counts, rounds,
+                 accepted) = retro_generate_fused(
+                    engine.params, engine.config, engine.cache, buffer0,
+                    output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.retro_clusters, engine.retro_cap, nprobe, recent)
+            jax.block_until_ready(output)
+            stats.wall_time_s = time.perf_counter() - t0
+            stats.rounds = int(rounds)
+            stats.total_drafted = stats.rounds * B * gamma
+            stats.total_accepted_drafts = int(accepted)
+            stats.generated_tokens = int(jnp.sum(gen_counts))
+            return output, gen_counts, stats
         if engine.spec == "snapkv":
             (engine.cache, engine.draft, output, gen_counts, rounds,
              accepted) = snapkv_generate_fused(
@@ -385,6 +421,8 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
         stats.total_accepted_drafts = int(accepted)
         stats.generated_tokens = int(jnp.sum(gen_counts))
         return output, gen_counts, stats
+    assert engine.spec not in ("quest", "retro", "squeeze"), \
+        f"{engine.spec} supports fused=True only"
     while True:
         if engine.spec == "snapkv":
             (engine.cache, engine.draft, buffer0, output, gen_counts,

@@ -1,0 +1,166 @@
+"""SqueezedAttention-style drafting: thresholded cluster selection.
+
+TPU-native re-design of the fork's SqueezedAttention engine
+(Engine/SqueezedAttention/: offline cuML k-means over the fixed-context keys
+squeezedattention/clustering.py:12-101, online query-vs-centroid comparison
+keeping clusters above a probability-threshold percentile with Triton sparse
+gathers kernels.py:10+, draft = same model with use_centroids=True
+backend.py:149-175, verify = full forward backend.py:124-147).
+
+Shares the cluster index machinery with the RetroInfer engine
+(engine/retro.py) — both cluster prefix keys per (layer, sequence, KV head);
+they differ in the selection rule: RetroInfer takes a FIXED top-nprobe,
+SqueezedAttention keeps every cluster whose estimated softmax mass clears a
+threshold. Fixed XLA shapes can't gather a variable cluster count, so the
+adaptation is: rank clusters by estimated mass, take a fixed max_clusters
+superset, and MASK OUT the members of clusters below the threshold — the
+effective (attended) cluster count adapts per query exactly as the method
+prescribes, under a static compute envelope.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu import cache as cache_lib
+from magicdec_tpu.cache import KVCache
+from magicdec_tpu.engine.retro import build_cluster_index
+from magicdec_tpu.engine.sampling import argmax_tokens
+from magicdec_tpu.models import llama
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops.rope import rope
+
+NEG_INF = -1e30
+
+
+def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
+                       centroids, cluster_slots, counts, *,
+                       max_clusters: int, threshold: float, recent: int):
+    """attn_impl for one SqueezedAttention draft step.
+
+    counts: [L, B, Hkv, C] member counts (for mass estimation). A cluster's
+    estimated softmax mass = count * softmax(q . centroid); clusters whose
+    mass fraction clears `threshold` (of the total estimate) are attended,
+    bounded above by max_clusters.
+    """
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    G = config.n_head // Hkv
+
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
+        B, T = q.shape[:2]
+        S = ck.shape[2]
+        cap = cluster_slots.shape[-1]
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+
+        # estimated per-cluster softmax mass (count-weighted centroid score)
+        qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
+        cent = centroids[l]                                # [B,Hkv,C,D]
+        logit = jnp.einsum("bthgd,bhcd->bthgc", qg, cent) * (Dh ** -0.5)
+        w = jax.nn.softmax(logit, axis=-1) * counts[l][:, None, :, None, :]
+        mass = jnp.sum(w, axis=(1, 3))                     # [B,Hkv,C]
+        mass = mass / jnp.maximum(jnp.sum(mass, -1, keepdims=True), 1e-9)
+        top_mass, top_c = jax.lax.top_k(mass, max_clusters)
+        keep = top_mass >= threshold                       # [B,Hkv,maxC]
+
+        cs = cluster_slots[l]                              # [B,Hkv,C,cap]
+        take_c = jax.vmap(jax.vmap(lambda a, i: a[i]))
+        sel = take_c(cs, top_c)                            # [B,Hkv,maxC,cap]
+        sel = jnp.where(keep[..., None], sel, -1).reshape(B, Hkv, -1)
+        rec = (lengths_before[:, None] + T - recent
+               + jnp.arange(recent, dtype=jnp.int32)[None, :])
+        rec = jnp.broadcast_to(rec[:, None, :], (B, Hkv, recent))
+        slot_sel = jnp.concatenate([sel, rec], axis=2)
+        member_ok = slot_sel >= 0
+        slot_gather = jnp.clip(slot_sel, 0, S - 1)
+
+        kv = ck[l].reshape(B, S, Hkv, Dh)
+        vv = cv[l].reshape(B, S, Hkv, Dh)
+        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
+        k_sel = take(kv, slot_gather)
+        v_sel = take(vv, slot_gather)
+
+        from magicdec_tpu.ops.attention import decode_valid_upto
+        upto = decode_valid_upto(lengths_before, T)
+        mask = (member_ok[:, None]
+                & (slot_gather[:, None] < upto[:, :, None, None]))
+        att = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
+                         k_sel, preferred_element_type=jnp.float32)
+        att = att * (Dh ** -0.5)
+        att = jnp.where(mask[:, :, :, None, :], att, NEG_INF)
+        probs = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype), (ck, cv)
+
+    return impl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
+                     "max_clusters", "recent"),
+    donate_argnames=("cache", "output", "gen_counts"))
+def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
+                           output, gen_counts, eot, gamma: int,
+                           max_new_tokens: int, n_clusters: int, cap: int,
+                           max_clusters: int, threshold: float, recent: int):
+    """Full SqueezedAttention-style self-spec generation (one while_loop)."""
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.spec import _accept_and_update
+
+    max_len = cache.k.shape[2]
+    centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
+                                                   cap)
+    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.float32)
+
+    def cond(state):
+        cache, gen_counts, terminal = state[0], state[3], state[6]
+        return (~terminal
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+
+    def body(state):
+        cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
+        lenT0 = cache.lengths
+
+        def draft_body(carry, i):
+            ck, cv, lens, tok = carry
+            impl = squeeze_draft_attn(config, lens, centroids, cluster_slots,
+                                      counts, max_clusters=max_clusters,
+                                      threshold=threshold, recent=recent)
+            logits, (ck, cv) = llama.forward(params, config, tok, impl,
+                                             (ck, cv), last_only=True)
+            nxt = argmax_tokens(logits)
+            return (ck, cv, lens + 1, nxt), nxt
+
+        (ck, cv, _, _), drafted = jax.lax.scan(
+            draft_body, (cache.k, cache.v, lenT0, buffer0),
+            jnp.arange(gamma, dtype=jnp.int32))
+        buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+
+        impl = impls.target_attn(config, lenT0)
+        logits, (ck, cv) = llama.forward(params, config, buffer, impl,
+                                         (ck, cv))
+        target_tokens = argmax_tokens(logits)
+        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
+            buffer, target_tokens, eot, gamma, output, gen_counts)
+        cache = KVCache(ck, cv, lenT0 + accept)
+        return (cache, bonus, output, gen_counts, rounds + 1, accepted + acc,
+                terminal | term)
+
+    state = (cache, buffer0, output, gen_counts, jnp.int32(0), jnp.int32(0),
+             jnp.bool_(False))
+    state = jax.lax.while_loop(cond, body, state)
+    cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
+    B, capo = output.shape
+    idx = jnp.minimum(gen_counts, capo - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    return cache, output, gen_counts + 1, rounds, accepted

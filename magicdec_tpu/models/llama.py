@@ -90,33 +90,43 @@ def _split_qkv(qkv: jax.Array, config: ModelArgs):
 def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
            caches: tuple, l: jax.Array):
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP."""
+    from magicdec_tpu.quant.int8 import qmatmul
+
     h = rms_norm(x, lp["attn_norm"], config.norm_eps)
-    qkv = h @ lp["wqkv"]
+    qkv = qmatmul(h, lp["wqkv"])
     if "bqkv" in lp:
         qkv = qkv + lp["bqkv"]
     q, k, v = _split_qkv(qkv, config)
     ctx, caches = attn_impl(q, k, v, caches, l)
-    x = x + ctx @ lp["wo"]
+    x = x + qmatmul(ctx, lp["wo"])
 
     h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
-    gate_up = jnp.einsum("btd,dzi->btzi", h, lp["w_gate_up"])
-    x = x + (jax.nn.silu(gate_up[..., 0, :]) * gate_up[..., 1, :]) @ lp["w_down"]
+    gate_up = qmatmul(h, lp["w_gate_up"], einsum="btd,dzi->btzi")
+    x = x + qmatmul(jax.nn.silu(gate_up[..., 0, :]) * gate_up[..., 1, :],
+                    lp["w_down"])
     return x, caches
 
 
 def run_layers(params: Params, config: ModelArgs, x: jax.Array,
-               attn_impl: AttnImpl, cache_arrays: tuple):
+               attn_impl: AttnImpl, cache_arrays: tuple,
+               remat: bool = False):
     """Scan the decoder stack. cache_arrays: tuple of FULL stacked [L, ...]
     cache arrays carried through the scan; attn_impl receives (caches, l) and
     appends via in-place scatters at layer l (cache.append_at_layer). Caches
     must NOT be threaded as scan xs/ys — that rewrites every layer's full
-    cache each step (see append_at_layer docstring)."""
+    cache each step (see append_at_layer docstring).
+
+    remat=True checkpoints each layer (training: softmax activations are
+    recomputed in backward instead of stored — O(1-layer) activation memory,
+    jax.checkpoint-over-scan, the standard XLA remat recipe)."""
     def body(carry, xs):
         x, caches = carry
         lp, l = xs
         x, caches = _block(x, lp, config, attn_impl, caches, l)
         return (x, caches), None
 
+    if remat:
+        body = jax.checkpoint(body)
     (x, new_caches), _ = jax.lax.scan(
         body, (x, tuple(cache_arrays)),
         (params["layers"], jnp.arange(config.n_layer, dtype=jnp.int32)))
@@ -134,7 +144,8 @@ def unembed(params: Params, config: ModelArgs, x: jax.Array) -> jax.Array:
 
 
 def forward(params: Params, config: ModelArgs, tokens: jax.Array,
-            attn_impl: AttnImpl, cache_arrays: tuple, last_only: bool = False):
+            attn_impl: AttnImpl, cache_arrays: tuple, last_only: bool = False,
+            remat: bool = False):
     """tokens [B, T] -> (logits fp32, new_cache_arrays).
 
     last_only=True unembeds just the final position ([B, 1, V]) — prefill
@@ -142,7 +153,8 @@ def forward(params: Params, config: ModelArgs, tokens: jax.Array,
     relies on flashinfer returning per-token outputs and slices afterwards).
     """
     x = params["tok_embeddings"][tokens]
-    x, new_caches = run_layers(params, config, x, attn_impl, cache_arrays)
+    x, new_caches = run_layers(params, config, x, attn_impl, cache_arrays,
+                               remat=remat)
     if last_only:
         x = x[:, -1:]
     return unembed(params, config, x), new_caches

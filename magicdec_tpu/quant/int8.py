@@ -1,0 +1,142 @@
+"""Weight-only quantization: int8 (per-channel) and int4 (group-wise).
+
+Capability parity with the reference's WeightOnlyInt8QuantHandler /
+WeightOnlyInt8Linear (Engine/quantize.py:7-87: symmetric per-output-channel
+int8, dequantized inside forward), extended with int4 group-wise scales (the
+north-star "int8/int4 weight-only with dequant fused into matmuls").
+
+TPU-native shape: instead of swapping nn.Module classes at load time, a
+quantized weight is a pytree dict ({"q": int8, "s": f32 scales} or
+{"q4": nibble-packed int8, "s4": group scales}) whose leaves carry the same
+leading layer axis as the plain weights, so the model's layer scan slices
+them like any other parameter; models/llama.py's matmul helper (qmatmul)
+dequantizes inline. For int8 XLA fuses the cast into the matmul and the
+per-output-channel scale into the epilogue, so HBM traffic is the int8
+bytes — the entire point, decode being weight-bandwidth-bound. int4 v1
+materializes the unpacked operand (storage halved; traffic not yet — a fused
+Pallas dequant-matmul is the planned follow-up).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["q4", "s4"],
+         meta_fields=["in_axis", "group_size"])
+@dataclass
+class Int4Weight:
+    """Nibble-packed int4 weight. in_axis is NEGATIVE (so it indexes the same
+    contraction axis whether the leading layer axis is present or already
+    scan-sliced away); the pack axis of q4 is in_axis with half the length."""
+    q4: jax.Array
+    s4: jax.Array
+    in_axis: int
+    group_size: int
+
+
+def quantize_int8(w: jax.Array, reduce_axes: tuple) -> dict:
+    """Symmetric int8 with scales over `reduce_axes` (the contraction axes),
+    keepdims so the scale broadcasts against the matmul output by trailing
+    alignment after the leading layer axis is scan-sliced away."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -128, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.astype(jnp.float32)}
+
+
+def dequantize_int8(qw: dict, dtype=jnp.bfloat16) -> jax.Array:
+    return (qw["q"].astype(jnp.float32) * qw["s"]).astype(dtype)
+
+
+def quantize_int4(w: jax.Array, in_axis: int, group_size: int = 128
+                  ) -> Int4Weight:
+    """Group-wise symmetric int4 along the contraction axis `in_axis` (must
+    be negative); nibble pairs packed into one int8 along that axis (even
+    index -> low nibble)."""
+    assert in_axis < 0, "in_axis must be negative (layer-axis agnostic)"
+    K = w.shape[in_axis]
+    assert K % group_size == 0 and group_size % 2 == 0, (K, group_size)
+    wf = jnp.moveaxis(w.astype(jnp.float32), in_axis, -2)   # [..., K, out]
+    lead, out = wf.shape[:-2], wf.shape[-1]
+    grouped = wf.reshape(*lead, K // group_size, group_size, out)
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0                  # [..., G, 1, out]
+    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, K, out)
+    packed = ((q[..., 1::2, :].astype(jnp.uint8) & 0xF) << 4
+              | (q[..., 0::2, :].astype(jnp.uint8) & 0xF)).astype(jnp.int8)
+    packed = jnp.moveaxis(packed, -2, in_axis)
+    scale = jnp.moveaxis(scale.squeeze(-2), -2, in_axis)     # groups on in_axis
+    return Int4Weight(q4=packed, s4=scale.astype(jnp.float32),
+                      in_axis=in_axis, group_size=group_size)
+
+
+def dequantize_int4(qw: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    in_axis, g = qw.in_axis, qw.group_size
+    packed = jnp.moveaxis(qw.q4, in_axis, -2)
+    s4 = jnp.moveaxis(qw.s4, in_axis, -2)
+    lead, K2, out = packed.shape[:-2], packed.shape[-2], packed.shape[-1]
+    lo = jnp.left_shift(packed, 4) >> 4                      # sign-extend
+    hi = packed >> 4
+    q = jnp.stack([lo, hi], axis=-2)                         # [..., K//2, 2, out]
+    q = q.reshape(*lead, K2 * 2, out).astype(jnp.float32)
+    grouped = q.reshape(*lead, (K2 * 2) // g, g, out)
+    wf = (grouped * s4[..., :, None, :]).reshape(*lead, K2 * 2, out)
+    return jnp.moveaxis(wf, -2, in_axis).astype(dtype)
+
+
+_QUANT_SPECS = {  # weight name -> contraction axis, NEGATIVE (layer-agnostic)
+    "wqkv": -2,        # [L, D, O]
+    "wo": -2,          # [L, HqD, D]
+    "w_gate_up": -3,   # [L, D, 2, I]
+    "w_down": -2,      # [L, I, D]
+}
+
+
+def quantize_params(params: dict, mode: str = "int8") -> dict:
+    """Quantize the layer matmul weights of a params pytree (embeddings,
+    norms and lm_head stay high-precision, as in the reference where only
+    nn.Linear weights are swapped). mode: "int8" | "int4"."""
+    assert mode in ("int8", "int4"), mode
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name, axis in _QUANT_SPECS.items():
+        w = layers[name]
+        if mode == "int8":
+            layers[name] = quantize_int8(w, reduce_axes=(axis,))
+        else:
+            layers[name] = quantize_int4(w, in_axis=axis)
+    out["layers"] = layers
+    return out
+
+
+def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
+    """x @ w (or einsum) for plain, int8 or int4 weights.
+
+    For int8 the scale multiplies the OUTPUT: valid because the scales are
+    constant along every contraction axis, and it keeps the matmul operand in
+    int8->bf16 cast form that XLA fuses into the MXU read. Scales keep their
+    keepdim-1 contraction axes, which align by trailing broadcast against the
+    output (e.g. [B,T,O] * [1,O], [B,T,2,I] * [1,2,I]).
+    """
+    if isinstance(w, dict) and "q" in w:
+        wd = w["q"].astype(x.dtype)
+        y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
+        return y * _strip_lead_ones(w["s"]).astype(y.dtype)
+    if isinstance(w, Int4Weight):
+        w = dequantize_int4(w, x.dtype)
+    return x @ w if einsum is None else jnp.einsum(einsum, x, w)
+
+
+def _strip_lead_ones(s: jax.Array) -> jax.Array:
+    """Drop leading size-1 (contraction) axes so the per-output-channel scale
+    aligns with the matmul output by trailing broadcast."""
+    while s.ndim > 1 and s.shape[0] == 1:
+        s = s[0]
+    return s

@@ -1,0 +1,68 @@
+"""Weight-only quantization tests (reference Engine/quantize.py parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicdec_tpu.engine.backend import Engine
+from magicdec_tpu.engine.spec import generate_autoregressive
+from magicdec_tpu.models import llama
+from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.quant import int8 as q
+
+CFG = ModelArgs.from_name("test-tiny")
+
+
+def test_int8_roundtrip_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96))
+    qw = q.quantize_int8(w, reduce_axes=(-2,))
+    back = q.dequantize_int8(qw, jnp.float32)
+    rel = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 1.5 / 127
+
+
+def test_int4_roundtrip_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 96))
+    qw = q.quantize_int4(w, in_axis=-2, group_size=128)
+    assert qw.q4.shape == (2, 128, 96)
+    back = q.dequantize_int4(qw, jnp.float32)
+    rel = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 1.5 / 7
+
+
+def test_int8_qmatmul_matches_dequant_matmul():
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 96))
+    qw = q.quantize_int8(w, reduce_axes=(-2,))
+    got = q.qmatmul(x, qw)
+    want = x @ q.dequantize_int8(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_model_logits_track_fp():
+    """Quantized forward wiring check: logits stay strongly correlated with
+    the fp32 model's (argmax-path equality is not a meaningful criterion for
+    a random tiny model, where margins are smaller than quantization noise).
+    Also exercises the full generation path end to end."""
+    from magicdec_tpu.train import causal_attn
+
+    params = llama.init_params(jax.random.PRNGKey(0), CFG, jnp.float32,
+                               scale=0.3)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (2, 32), 0,
+                              CFG.vocab_size, dtype=jnp.int32)
+    ref, _ = llama.forward(params, CFG, toks, causal_attn(CFG), ())
+    refn = np.asarray(ref).ravel()
+    # int4's 15 levels give ~1/7 worst-case element error; on a 2-layer
+    # random model that compounds to a weak (but clearly non-broken)
+    # correlation — the roundtrip test above owns numerical correctness.
+    for mode, min_corr in (("int8", 0.99), ("int4", 0.6)):
+        qp = q.quantize_params(params, mode)
+        got, _ = llama.forward(qp, CFG, toks, causal_attn(CFG), ())
+        corr = np.corrcoef(np.asarray(got).ravel(), refn)[0, 1]
+        assert corr >= min_corr, (mode, corr)
+        # generation path runs with quantized weights
+        eng = Engine(CFG, qp, batch_size=2, max_len=192, prefill_chunk=128,
+                     kv_dtype=jnp.float32)
+        out, _ = generate_autoregressive(eng, toks[:, :32].repeat(4, 1), 8)
+        assert np.asarray(out).shape == (2, 8)
