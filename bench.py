@@ -69,7 +69,7 @@ def main():
     p.add_argument("--B", type=int, default=128)
     p.add_argument("--prefix_len", type=int, default=1024)
     p.add_argument("--gen_len", type=int, default=80)
-    p.add_argument("--gamma", type=int, default=3)
+    p.add_argument("--gamma", type=int, default=6)
     p.add_argument("--draft_budget", type=int, default=128)
     p.add_argument("--window_size", type=int, default=32)
     p.add_argument("--spec", default="snapkv",
@@ -134,7 +134,10 @@ def main():
         _, counts, st = generate_selfspec(engine, ids, args.gamma,
                                           args.gen_len)
         if i > 0:
-            sp_tokens += int(jnp.sum(jnp.minimum(counts, args.gen_len)))
+            # count every token actually generated (rows past gen_len keep
+            # producing while stragglers finish — the reference counts all
+            # generated tokens, num_gen_tokens/total_time)
+            sp_tokens += st.generated_tokens
             sp_time += st.wall_time_s
             acc_rates.append(st.acceptance_rate)
     sp_tps = sp_tokens / sp_time

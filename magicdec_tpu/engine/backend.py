@@ -161,7 +161,7 @@ class Engine:
     def __init__(self, config: ModelArgs, params, *, batch_size: int,
                  max_len: int, spec: Optional[str] = None, draft_budget: int = 0,
                  window_size: int = 32, sink_size: int = 16,
-                 latest_k: int = 128, draft_headroom: int = 192,
+                 latest_k: int = 128, draft_headroom: int = 64,
                  prefill_chunk: int = 128, kv_dtype=None, mesh=None,
                  retro_clusters: int = 0, retro_cap: int = 32,
                  squeeze_threshold: float = 0.01):
@@ -196,6 +196,12 @@ class Engine:
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as shard_lib
             self.params = shard_lib.shard_params(params, mesh, config)
+            if mesh.devices.size > 1:
+                # pallas_call does not auto-partition under GSPMD; until the
+                # flash kernel is shard_map-wrapped, multi-device engines run
+                # the dense XLA attention (which partitions fine).
+                from magicdec_tpu.engine import attention_impls as _impls
+                _impls.set_attend_mode("dense")
         self._create_cache()
         self.draft: Optional[DraftKVCache] = None
         # quest/retro/squeeze draft straight out of the target cache

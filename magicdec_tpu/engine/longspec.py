@@ -85,21 +85,18 @@ def longspec_generate_fused(tparams, tconfig, dparams, dconfig,
          accepted, terminal) = state
         lenT0, lenD0 = tcache.lengths, dcache.lengths
 
-        # -- draft: dec_len-2 first step, then gamma-1 single steps ----------
-        dcache1, nxt = step(dparams, dcache,
+        # -- draft: dec_len-2 first step, then gamma-1 single steps (unrolled;
+        # a lax.scan would copy the draft cache across the scan boundary) ----
+        dcache2, nxt = step(dparams, dcache,
                             jnp.concatenate([last_acc, buffer0], axis=1),
                             lenT0 - 1)
-
-        def body(carry, _):
-            dc, tok, tlen = carry
-            dc, nxt = step(dparams, dc, tok, tlen)
-            return (dc, nxt, tlen + 1), nxt
-
-        (dcache2, _, _), drafted = jax.lax.scan(
-            body, (dcache1, nxt, lenT0 + 1), None, length=gamma - 1)
-        buffer = jnp.concatenate(
-            [buffer0, nxt] + ([drafted[:, :, 0].T] if gamma > 1 else []),
-            axis=1)  # [B, gamma+1]
+        drafted = [nxt]
+        tlen = lenT0 + 1
+        for _ in range(gamma - 1):
+            dcache2, nxt = step(dparams, dcache2, nxt, tlen)
+            tlen = tlen + 1
+            drafted.append(nxt)
+        buffer = jnp.concatenate([buffer0] + drafted, axis=1)  # [B, gamma+1]
 
         # -- target verify (plain decode over gamma+1 tokens,
         #    longspec_benchmark.py:198) ---------------------------------------

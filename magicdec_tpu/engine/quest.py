@@ -142,19 +142,18 @@ def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
     n_pages = max(budget // page - latest_k // page, 1)
     latest_pages = max(latest_k // page, 1)
 
-    def draft_body(carry, i):
-        ck, cv, lens, tok = carry
+    # unrolled (a lax.scan would copy the cache across the scan boundary)
+    ck, cv, lens, tok = cache.k, cache.v, lenT0, buffer0
+    drafted = []
+    for _ in range(gamma):
         impl = quest_draft_attn(config, lens, kmin, kmax, n_pages=n_pages,
                                 latest_pages=latest_pages, page=page)
         logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
                                          last_only=True)
-        nxt = argmax_tokens(logits)
-        return (ck, cv, lens + 1, nxt), nxt
-
-    (ck, cv, _, _), drafted = jax.lax.scan(
-        draft_body, (cache.k, cache.v, lenT0, buffer0),
-        jnp.arange(gamma, dtype=jnp.int32))
-    buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+        tok = argmax_tokens(logits)
+        lens = lens + 1
+        drafted.append(tok)
+    buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
     # verify with full attention, overwriting the draft-written slots
     impl = impls.target_attn(config, lenT0)

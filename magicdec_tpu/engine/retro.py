@@ -171,19 +171,18 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
         cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
         lenT0 = cache.lengths
 
-        def draft_body(carry, i):
-            ck, cv, lens, tok = carry
+        # unrolled (a lax.scan would copy the cache across the scan boundary)
+        ck, cv, lens, tok = cache.k, cache.v, lenT0, buffer0
+        drafted = []
+        for _ in range(gamma):
             impl = retro_draft_attn(config, lens, centroids, cluster_slots,
                                     nprobe=nprobe, recent=recent)
             logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                              (ck, cv), last_only=True)
-            nxt = argmax_tokens(logits)
-            return (ck, cv, lens + 1, nxt), nxt
-
-        (ck, cv, _, _), drafted = jax.lax.scan(
-            draft_body, (cache.k, cache.v, lenT0, buffer0),
-            jnp.arange(gamma, dtype=jnp.int32))
-        buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+            tok = argmax_tokens(logits)
+            lens = lens + 1
+            drafted.append(tok)
+        buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
         impl = impls.target_attn(config, lenT0)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,

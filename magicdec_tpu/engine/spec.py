@@ -66,18 +66,19 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
     """One SnapKV self-speculation round (draft shares target weights)."""
     lenT0, lenD0 = cache.lengths, draft.lengths
 
-    def draft_body(carry, i):
-        dk, dv, lens, tok = carry
+    # unrolled draft loop: a lax.scan would copy the draft cache across the
+    # scan boundary (~2x cache size per round); straight-line SSA aliases
+    # in place, and gamma is small and static
+    dk, dv, lens, tok = draft.k, draft.v, lenD0, buffer0
+    drafted = []
+    for i in range(gamma):
         impl = impls.snapkv_draft_attn(config, lenT0 + i, lens)
         logits, (dk, dv) = llama.forward(params, config, tok, impl, (dk, dv),
                                          last_only=True)
-        nxt = argmax_tokens(logits)
-        return (dk, dv, lens + 1, nxt), nxt
-
-    (dk, dv, _, _), drafted = jax.lax.scan(
-        draft_body, (draft.k, draft.v, lenD0, buffer0),
-        jnp.arange(gamma, dtype=jnp.int32))
-    buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)  # [B, g+1]
+        tok = argmax_tokens(logits)
+        lens = lens + 1
+        drafted.append(tok)
+    buffer = jnp.concatenate([buffer0] + drafted, axis=1)  # [B, g+1]
 
     # verify: target attention, dual-append at the ROUND-START draft offset
     # (overwrites the spec-written entries with target-quality k/v).
@@ -118,20 +119,15 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
                                          (dk, dv), last_only=True)
         return dk, dv, lens + tokens.shape[1], argmax_tokens(logits)
 
-    # step 1: re-feed last accepted + current token
+    # step 1: re-feed last accepted + current token; remaining steps unrolled
+    # (a lax.scan would copy the draft cache across the scan boundary)
     dk, dv, lens, nxt = step(draft.k, draft.v, lenD0,
                              jnp.concatenate([last_acc_tok, buffer0], axis=1))
-
-    def draft_body(carry, _):
-        dk, dv, lens, tok = carry
-        dk, dv, lens, nxt = step(dk, dv, lens, tok)
-        return (dk, dv, lens, nxt), nxt
-
-    (dk, dv, _, _), drafted = jax.lax.scan(
-        draft_body, (dk, dv, lens, nxt), None, length=gamma - 1)
-    # buffer = [buffer0, first drafted, remaining drafted]  -> [B, gamma+1]
-    buffer = jnp.concatenate(
-        [buffer0, nxt] + ([drafted[:, :, 0].T] if gamma > 1 else []), axis=1)
+    drafted = [nxt]
+    for _ in range(gamma - 1):
+        dk, dv, lens, nxt = step(dk, dv, lens, nxt)
+        drafted.append(nxt)
+    buffer = jnp.concatenate([buffer0] + drafted, axis=1)  # [B, gamma+1]
 
     # verify: target-only (StreamingLLM verify never writes the draft cache,
     # Engine/StreamingLLM/model.py:209)

@@ -41,11 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_body(a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr, acc_scr,
-                *, s_real: int, scale: float):
-    """One S-block online-softmax update. a/lo/hi are [M,1] int32 interval
-    bounds (mask = col<a or lo<=col<hi), qd [M,HD], k_blk/v_blk [S_BLK,HD];
-    state lives in VMEM scratch.
+def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
+                acc_scr, *, s_real: int, scale: float):
+    """One S-block online-softmax update for sub-batch element bi.
+
+    a/lo/hi [M,1] int32 interval bounds (mask = col<a or lo<=col<hi), qd
+    [M,HD], k_blk/v_blk [S_BLK,HD]; state in VMEM scratch indexed by bi (the
+    kernels process b_block batch elements per grid cell to amortize
+    per-cell grid overhead — decisive when S is small and the grid would
+    otherwise be B x 1 tiny cells).
 
     s_real is the true (unpadded) S: a partial final block reads undefined
     memory, and although masked columns get probability exactly 0, IEEE
@@ -60,9 +64,9 @@ def _flash_body(a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(sblk == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[bi] = jnp.full(m_scr.shape[1:], NEG_INF, m_scr.dtype)
+        l_scr[bi] = jnp.zeros(l_scr.shape[1:], l_scr.dtype)
+        acc_scr[bi] = jnp.zeros(acc_scr.shape[1:], acc_scr.dtype)
 
     col = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (M, S_BLK), 1)
     mask = (col < a) | ((col >= lo) & (col < hi))        # [M, S_BLK]
@@ -72,36 +76,50 @@ def _flash_body(a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr, acc_scr,
     s = jax.lax.dot_general(qd, k_blk, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = jnp.where(mask, s, NEG_INF)
-    m_old = m_scr[:]                                     # [M, 1]
+    m_old = m_scr[bi]                                    # [M, 1]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
     p = jnp.where(mask, jnp.exp(s - m_new), 0.0)         # [M, S_BLK]
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[bi] = m_new
+    l_scr[bi] = l_scr[bi] * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    acc_scr[:] = acc_scr[:] * alpha + pv                 # [M, Hkv*D]
+    acc_scr[bi] = acc_scr[bi] * alpha + pv               # [M, Hkv*D]
 
     @pl.when(sblk == n_sblk - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        o_ref[bi] = (acc_scr[bi] / l_scr[bi]).astype(o_ref.dtype)
 
 
 def _kernel(a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
             m_scr, l_scr, acc_scr, *, s_real: int, scale: float):
-    _flash_body(a_ref[0], lo_ref[0], hi_ref[0], qd_ref[0], k_ref[0], v_ref[0],
-                o_ref, m_scr, l_scr, acc_scr, s_real=s_real, scale=scale)
+    for bi in range(qd_ref.shape[0]):                    # static unroll
+        _flash_body(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                    k_ref[bi], v_ref[bi], o_ref, m_scr, l_scr, acc_scr,
+                    s_real=s_real, scale=scale)
 
 
 def _kernel_stacked(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
                     m_scr, l_scr, acc_scr, *, s_real: int, scale: float):
-    """Stacked k/v blocks arrive as [1, 1, s_block, HD] (layer picked by the
-    scalar-prefetch index_map); drop the layer dim and reuse the body."""
+    """Stacked k/v blocks arrive as [1, b_block, s_block, HD] (layer picked
+    by the scalar-prefetch index_map)."""
     del l_ref
-    _flash_body(a_ref[0], lo_ref[0], hi_ref[0], qd_ref[0], k_ref[0, 0],
-                v_ref[0, 0], o_ref, m_scr, l_scr, acc_scr, s_real=s_real,
-                scale=scale)
+    for bi in range(qd_ref.shape[0]):
+        _flash_body(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                    k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr, acc_scr,
+                    s_real=s_real, scale=scale)
+
+
+def _pick_b_block(B: int, s_block: int, HD: int, itemsize: int = 2,
+                  vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Sub-batch per grid cell: as many b as keep the double-buffered K+V
+    blocks within the VMEM budget, and dividing B evenly."""
+    per_b = s_block * HD * itemsize * 4          # k+v, double-buffered
+    b = max(1, min(16, vmem_budget // max(per_b, 1)))
+    while B % b:
+        b -= 1
+    return b
 
 
 def _round_up(x: int, m: int) -> int:
@@ -156,32 +174,33 @@ def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
     M = Hkv * TG_pad
     s_block = min(s_block, _round_up(S, 8))
+    BB = _pick_b_block(B, s_block, HD)
     # padded rows: empty sink, window [0, 1) keeps their softmax finite
     a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv, 0)
     lo_r = _expand_rows(lo, G, TG, TG_pad, Hkv, 0)
     hi_r = _expand_rows(hi, G, TG, TG_pad, Hkv, 1)
 
-    row_spec = pl.BlockSpec((1, M, 1), lambda b, s: (b, 0, 0),
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, s_real=S, scale=D ** -0.5),
-        grid=(B, pl.cdiv(S, s_block)),
+        grid=(B // BB, pl.cdiv(S, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, M, HD), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((BB, M, HD), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_block, HD), lambda b, s: (b, s, 0),
+            pl.BlockSpec((BB, s_block, HD), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_block, HD), lambda b, s: (b, s, 0),
+            pl.BlockSpec((BB, s_block, HD), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, HD), lambda b, s: (b, 0, 0),
+        out_specs=pl.BlockSpec((BB, M, HD), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M, HD), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((M, 1), jnp.float32),
-            pltpu.VMEM((M, 1), jnp.float32),
-            pltpu.VMEM((M, HD), jnp.float32),
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, HD), jnp.float32),
         ],
         interpret=interpret,
     )(a_r, lo_r, hi_r, qd, k_cache, v_cache)
@@ -228,33 +247,34 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
     M = Hkv * TG_pad
     s_block = min(s_block, _round_up(S, 8))
+    BB = _pick_b_block(B, s_block, HD)
     zero = jnp.zeros_like(valid_upto)
     a_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
     lo_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
     hi_r = _expand_rows(valid_upto, G, TG, TG_pad, Hkv, 1)
 
-    row_spec = pl.BlockSpec((1, M, 1), lambda b, s, l_ref: (b, 0, 0),
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, pl.cdiv(S, s_block)),
+        grid=(B // BB, pl.cdiv(S, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, M, HD), lambda b, s, l_ref: (b, 0, 0),
+            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_block, HD),
+            pl.BlockSpec((1, BB, s_block, HD),
                          lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_block, HD),
+            pl.BlockSpec((1, BB, s_block, HD),
                          lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, HD), lambda b, s, l_ref: (b, 0, 0),
+        out_specs=pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((M, 1), jnp.float32),
-            pltpu.VMEM((M, 1), jnp.float32),
-            pltpu.VMEM((M, HD), jnp.float32),
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, HD), jnp.float32),
         ],
     )
     out = pl.pallas_call(
