@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
@@ -60,7 +61,9 @@ def get_bench_model(train_seq: int, steps: int, seed: int):
                                    lr=1e-3, seed=seed)
     params = train_lib.cast_params(params, jnp.bfloat16)
     save_params(str(ckpt), params)
-    print(f"# trained bench model: loss {loss:.3f}", flush=True)
+    # stdout carries exactly ONE JSON line (the driver contract)
+    print(f"# trained bench model: loss {loss:.3f}", file=sys.stderr,
+          flush=True)
     return params, config
 
 
@@ -77,6 +80,9 @@ def main():
                             "squeeze"])
     p.add_argument("--batches", type=int, default=3,
                    help="batches per mode; the first is compile warmup")
+    p.add_argument("--quant", default=None, choices=[None, "int8", "int4"],
+                   help="weight-only quantization for BOTH baseline and spec "
+                        "(reference --quantize parity); KV stays bf16")
     p.add_argument("--train_steps", type=int, default=1200)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--smoke", action="store_true",
@@ -100,6 +106,9 @@ def main():
         params, config = get_bench_model(train_seq=args.prefix_len,
                                          steps=args.train_steps,
                                          seed=args.seed)
+    if args.quant:
+        from magicdec_tpu.quant.int8 import quantize_params
+        params = quantize_params(params, args.quant)
 
     # held-out evaluation prompts (fresh per-sequence tables, same corpus law)
     batches = [
@@ -146,7 +155,8 @@ def main():
     result = {
         "metric": (f"selfspec_speedup_{args.spec}_B{args.B}"
                    f"_P{args.prefix_len}_g{args.gamma}"
-                   f"_bud{args.draft_budget}"),
+                   f"_bud{args.draft_budget}"
+                   + (f"_{args.quant}" if args.quant else "")),
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 4),

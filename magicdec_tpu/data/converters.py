@@ -215,6 +215,39 @@ def convert_c4_dataset(seq_len: int, tokenizer=None, num_docs: int = 2000
                                tok.bos_token_id)
 
 
+def convert_wiki_dataset(seq_len: int, tokenizer=None, num_docs: int = 2000
+                         ) -> np.ndarray:
+    """wikitext-103 stream -> fixed chunks (reference data_converter.py:32-45)."""
+    _require_hf("convert_wiki_dataset")
+    import datasets
+    ds = datasets.load_dataset("wikitext", "wikitext-103-raw-v1",
+                               split="test")
+    tok = tokenizer or _default_tokenizer()
+    ids = []
+    for i, row in enumerate(ds):
+        if i >= num_docs:
+            break
+        ids.extend(tok(row["text"]).input_ids)
+    return _chunk_token_stream(np.asarray(ids, np.int32), seq_len,
+                               tok.bos_token_id)
+
+
+def convert_cnn_dataset(seq_len: int, tokenizer=None, num_docs: int = 2000
+                        ) -> np.ndarray:
+    """CNN/DailyMail articles -> fixed chunks (reference data_converter.py:47-60)."""
+    _require_hf("convert_cnn_dataset")
+    import datasets
+    ds = datasets.load_dataset("cnn_dailymail", "3.0.0", split="test")
+    tok = tokenizer or _default_tokenizer()
+    ids = []
+    for i, row in enumerate(ds):
+        if i >= num_docs:
+            break
+        ids.extend(tok(row["article"]).input_ids)
+    return _chunk_token_stream(np.asarray(ids, np.int32), seq_len,
+                               tok.bos_token_id)
+
+
 def convert_longbench_v1_dataset(task: str, seq_len: int, tokenizer=None,
                                  max_ctx: int = 128 * 1024) -> np.ndarray:
     """LongBench v1 task -> prompts truncated middle-out to seq_len, 128-token

@@ -35,6 +35,23 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def make_multihost_mesh(tp_per_host: int | None = None) -> Mesh:
+    """Multi-host mesh: dp over hosts (DCN), tp within each host (ICI).
+
+    The reference never runs multi-node (SURVEY.md §2.3: torchrun
+    --standalone only); here the standard JAX recipe is provided so the same
+    engine scales across hosts — weights replicate over the dp/DCN axis,
+    per-layer psums stay on ICI, only batch-parallel work crosses DCN.
+    Requires jax.distributed.initialize() on each host.
+    """
+    n_local = jax.local_device_count()
+    tp = tp_per_host or n_local
+    assert tp <= n_local
+    n_hosts = jax.device_count() // n_local
+    arr = np.asarray(jax.devices()).reshape(n_hosts, n_local)[:, :tp]
+    return Mesh(arr, ("dp", "tp"))
+
+
 def validate_tp(config: ModelArgs, tp: int):
     """The reference distributes remainder KV heads unevenly (tp.py:36-52);
     we require even divisibility — every config in the registry satisfies it
