@@ -71,20 +71,20 @@ def glide_generate_fused(params, glide_params, config: ModelArgs,
          accepted, terminal) = state
         lenT0 = cache.lengths
 
-        def draft_body(carry, i):
-            ok, ov, ol, tok = carry
+        # unrolled (a lax.scan would copy the glide cache across the boundary)
+        ok, ov, ol, tok = own_k, own_v, own_len, buffer0
+        drafted = []
+        for i in range(gamma):
             pos = lenT0[:, None] + i
             logits, ok, ov = glide_lib.glide_forward(
                 glide_params, params, config, tok, pos, ok, ov, ol,
                 cache.k[-1], cache.v[-1],
                 jnp.broadcast_to(lenT0[:, None], tok.shape))
-            nxt = argmax_tokens(logits[:, -1:])
-            return (ok, ov, ol + 1, nxt), nxt
-
-        (own_k2, own_v2, _, _), drafted = jax.lax.scan(
-            draft_body, (own_k, own_v, own_len, buffer0),
-            jnp.arange(gamma, dtype=jnp.int32))
-        buffer = jnp.concatenate([buffer0, drafted[:, :, 0].T], axis=1)
+            tok = argmax_tokens(logits[:, -1:])
+            ol = ol + 1
+            drafted.append(tok)
+        own_k2, own_v2 = ok, ov
+        buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
         impl = impls.target_attn(config, lenT0)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,

@@ -157,37 +157,52 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
 # exactly once per batch, so tunnel/dispatch latency is off the critical path.
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens"),
+@functools.partial(jax.jit,
+                   static_argnames=("config", "max_new_tokens",
+                                    "temperature", "top_p"),
                    donate_argnames=("cache",))
 def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
-                                  max_new_tokens: int):
+                                  max_new_tokens: int,
+                                  temperature: float = 0.0,
+                                  top_p: float = 1.0, key=None):
     """Baseline decode: while-loop of 1-token steps, EOS-checked on device.
 
+    temperature 0.0 = greedy argmax (the reference's benchmark mode); > 0
+    samples with nucleus filtering (reference Engine/utils.py sample()).
     Returns (output [B, max_new_tokens], gen_counts [B], new_cache).
     """
+    from magicdec_tpu.engine.sampling import sample
+
     B = tok.shape[0]
     output = jnp.zeros((B, max_new_tokens), jnp.int32)
     output = output.at[:, 0].set(tok[:, 0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def cond(s):
-        step, tok, cache, output, alive = s
+        step = s[0]
+        alive = s[4]
         return (step < max_new_tokens) & jnp.any(alive)
 
     def body(s):
-        step, tok, cache, output, alive = s
+        step, tok, cache, output, alive, key = s
         impl = impls.target_attn(config, cache.lengths)
         logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                          (cache.k, cache.v))
-        nxt = argmax_tokens(logits)
+        if temperature > 0.0:
+            key, sub = jax.random.split(key)
+            nxt = sample(logits, sub, temperature, top_p)
+        else:
+            nxt = argmax_tokens(logits)
         cache = KVCache(ck, cv, cache.lengths + jnp.where(alive, 1, 0))
         output = output.at[:, jnp.minimum(step, max_new_tokens - 1)].set(
             jnp.where(alive, nxt[:, 0], 0))
         alive = alive & ~_is_eot(nxt[:, 0], eot)
-        return step + 1, nxt, cache, output, alive
+        return step + 1, nxt, cache, output, alive, key
 
     alive = ~_is_eot(tok[:, 0], eot)
-    step, tok, cache, output, alive = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), tok, cache, output, alive))
+    step, tok, cache, output, alive, key = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tok, cache, output, alive, key))
     return output, jnp.minimum(step, max_new_tokens) * jnp.ones((B,), jnp.int32), cache
 
 
@@ -293,12 +308,14 @@ class SpecStats:
 
 
 def generate_autoregressive(engine: Engine, input_ids, max_new_tokens: int,
-                            eot_ids=(), fused: bool = True
-                            ) -> tuple[jax.Array, SpecStats]:
+                            eot_ids=(), fused: bool = True,
+                            temperature: float = 0.0, top_p: float = 1.0,
+                            key=None) -> tuple[jax.Array, SpecStats]:
     """Baseline decode loop (reference tests/baseline_benchmark.py:80-92).
 
     fused=True (default) runs the whole decode as one on-device while_loop;
     fused=False keeps the step-per-dispatch host loop (useful for debugging).
+    temperature > 0 samples (nucleus top_p) instead of greedy argmax.
     Timing starts after prefill, as in the reference.
     """
     eot = _eot_array(eot_ids)
@@ -310,7 +327,7 @@ def generate_autoregressive(engine: Engine, input_ids, max_new_tokens: int,
     if fused:
         output, counts, engine.cache = autoregressive_generate_fused(
             engine.params, engine.config, engine.cache, tok, eot,
-            max_new_tokens)
+            max_new_tokens, temperature=temperature, top_p=top_p, key=key)
         jax.block_until_ready(output)
         stats.wall_time_s = time.perf_counter() - t0
         stats.generated_tokens = int(jnp.sum(counts))

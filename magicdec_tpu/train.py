@@ -80,7 +80,7 @@ def train(config: ModelArgs, data, *, steps: int = 400, batch: int = 16,
     """
     import optax
 
-    warmup = max(steps // 20, 10)
+    warmup = min(max(steps // 20, 10), max(steps // 2, 1))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps,
                                                   lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=0.01)
@@ -156,7 +156,7 @@ def train_glide(target_params, config: ModelArgs, data, *, steps: int = 600,
 
     from magicdec_tpu.models import glide as glide_lib
 
-    warmup = max(steps // 20, 10)
+    warmup = min(max(steps // 20, 10), max(steps // 2, 1))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps,
                                                   lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=0.01)
@@ -164,9 +164,12 @@ def train_glide(target_params, config: ModelArgs, data, *, steps: int = 600,
     opt_state = optimizer.init(gp)
 
     @functools.partial(jax.jit, donate_argnames=("gp", "opt_state"))
-    def step_fn(gp, opt_state, tokens):
-        loss, grads = jax.value_and_grad(glide_loss)(gp, target_params,
-                                                     config, tokens)
+    def step_fn(gp, opt_state, tparams, tokens):
+        # tparams must be an ARGUMENT: closing over the (frozen) target
+        # weights would embed hundreds of MB of constants into the compile
+        # payload and stall remote compilation
+        loss, grads = jax.value_and_grad(glide_loss)(gp, tparams, config,
+                                                     tokens)
         updates, opt_state = optimizer.update(grads, opt_state, gp)
         gp = optax.apply_updates(gp, updates)
         return gp, opt_state, loss
@@ -179,7 +182,7 @@ def train_glide(target_params, config: ModelArgs, data, *, steps: int = 600,
         for step in range(steps):
             idx = jax.random.randint(jax.random.fold_in(key, step), (batch,),
                                      0, n)
-            gp, opt_state, loss = step_fn(gp, opt_state, data[idx])
+            gp, opt_state, loss = step_fn(gp, opt_state, target_params, data[idx])
             if log_every and step % log_every == 0:
                 print(f"glide step {step}: loss {float(loss):.4f}", flush=True)
     return gp, float(loss)
