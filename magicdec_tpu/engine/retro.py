@@ -100,12 +100,15 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
-        # ---- centroid scores (reference: batch_gemm_softmax over centroids)
-        qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
+        # ---- centroid scores (reference: batch_gemm_softmax over centroids;
+        # here the fused Pallas kernel on TPU, XLA elsewhere)
+        from magicdec_tpu.ops.pallas.gemm_softmax import (centroid_scores,
+                                                          centroid_scores_xla)
         cent = centroids[l]                                # [B,Hkv,C,D]
-        logits = jnp.einsum("bthgd,bhcd->bthgc", qg, cent)
-        scores = jnp.sum(jax.nn.softmax(logits * (Dh ** -0.5), -1),
-                         axis=(1, 3))                      # [B,Hkv,C]
+        if jax.default_backend() == "tpu":
+            scores = centroid_scores(q, cent)              # [B,Hkv,C]
+        else:
+            scores = centroid_scores_xla(q, cent)
         _, top_c = jax.lax.top_k(scores, nprobe)           # [B,Hkv,nprobe]
 
         # ---- gather selected clusters' member slots ------------------------
