@@ -196,10 +196,12 @@ class Engine:
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as shard_lib
             self.params = shard_lib.shard_params(params, mesh, config)
-            if mesh.devices.size > 1:
+            if mesh.devices.size > 1 and jax.default_backend() == "tpu":
                 # pallas_call does not auto-partition under GSPMD; until the
-                # flash kernel is shard_map-wrapped, multi-device engines run
-                # the dense XLA attention (which partitions fine).
+                # flash kernel is shard_map-wrapped, multi-device TPU engines
+                # run the dense XLA attention (which partitions fine). This is
+                # a process-wide switch — correct, since kernels can't
+                # partition for ANY engine once a >1-chip mesh is in play.
                 from magicdec_tpu.engine import attention_impls as _impls
                 _impls.set_attend_mode("dense")
         self._create_cache()

@@ -111,6 +111,16 @@ def _kernel_stacked(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
                     s_real=s_real, scale=scale)
 
 
+def _pick_s_block(S: int, target: int) -> int:
+    """Block size must be a GLOBAL constant (same for every cache size):
+    the full-budget acceptance==1.0 invariant needs the draft-path and
+    verify-path online softmax to chunk the shared data at identical slot
+    boundaries, so per-S divisor-seeking is not allowed. Unbalanced partial
+    tail blocks pipeline poorly (measured ~25% bandwidth at s_block=1024 on
+    S=1152 v5e), so the default target is a moderate 512."""
+    return min(target, _round_up(S, 8))
+
+
 def _pick_b_block(B: int, s_block: int, HD: int, itemsize: int = 2,
                   vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Sub-batch per grid cell: as many b as keep the double-buffered K+V
@@ -158,7 +168,7 @@ def _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye):
 
 @functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
 def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
-                           s_block: int = 1024, interpret: bool = False):
+                           s_block: int = 512, interpret: bool = False):
     """General two-interval flash decode (flat cache).
 
     Args:
@@ -173,7 +183,7 @@ def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
     G = Hq // Hkv
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
     M = Hkv * TG_pad
-    s_block = min(s_block, _round_up(S, 8))
+    s_block = _pick_s_block(S, s_block)
     BB = _pick_b_block(B, s_block, HD)
     # padded rows: empty sink, window [0, 1) keeps their softmax finite
     a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv, 0)
@@ -208,7 +218,7 @@ def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
 
 
 @functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
-def flash_decode(q, k_cache, v_cache, valid_upto, *, s_block: int = 1024,
+def flash_decode(q, k_cache, v_cache, valid_upto, *, s_block: int = 512,
                  interpret: bool = False):
     """Ragged-causal flash decode (flat cache): query (b, t) attends to
     slots < valid_upto[b, t]."""
@@ -237,7 +247,7 @@ def flash_decode_attend(q, k, v, valid_upto, *, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
 def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
-                         s_block: int = 1024, interpret: bool = False):
+                         s_block: int = 512, interpret: bool = False):
     """As flash_decode, but k_cache/v_cache are stacked [L, B, S, Hkv*D] and
     `layer` (traced int32 scalar) selects the layer without a copy."""
     B, T, Hq, D = q.shape
@@ -246,7 +256,7 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     G = Hq // Hkv
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
     M = Hkv * TG_pad
-    s_block = min(s_block, _round_up(S, 8))
+    s_block = _pick_s_block(S, s_block)
     BB = _pick_b_block(B, s_block, HD)
     zero = jnp.zeros_like(valid_upto)
     a_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)

@@ -104,6 +104,11 @@ def snapkv_select(scores: jax.Array, k_cache_l: jax.Array, v_cache_l: jax.Array,
     B, S, Hkv, D = k_cache_l.shape
     topk = budget - window
     _, idx = jax.lax.top_k(scores, topk)  # [B, Hkv, topk]
+    # keep selected keys in ORIGINAL slot order: softmax is order-invariant
+    # mathematically, but bitwise reproducibility (the full-budget
+    # acceptance==1.0 invariant) requires the draft cache to be an identity
+    # copy of the target prefix when the budget covers everything
+    idx = jnp.sort(idx, axis=-1)
 
     def gather_bh(cache_bh, idx_bh):  # [S, D], [topk]
         return cache_bh[idx_bh]
