@@ -65,23 +65,40 @@ def _use_flash(config: ModelArgs, T: int) -> bool:
     return jax.default_backend() == "tpu" and tg <= _FLASH_MAX_TG
 
 
-def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None):
-    """Ragged prefix attention against stacked caches, kernel-dispatched."""
+def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
+                    cap: int | None = None):
+    """Ragged prefix attention against stacked caches, kernel-dispatched.
+
+    `cap` bounds the attended slots on the DENSE path only (the flash kernel
+    would materialize a sliced copy of the whole stacked cache as its
+    operand; its masking already skips compute past the bounds)."""
     if attend is not None:
-        return attend(q, _unpack(ck[l], config), _unpack(cv[l], config), valid)
+        k_l, v_l = ck[l], cv[l]
+        if cap is not None and cap < k_l.shape[1]:
+            k_l, v_l = k_l[:, :cap], v_l[:, :cap]
+        return attend(q, _unpack(k_l, config), _unpack(v_l, config), valid)
     if _use_flash(config, q.shape[1]):
         return flash_decode_stacked(q, ck, cv, l, valid)
-    return dense.masked_attention(q, _unpack(ck[l], config),
-                                  _unpack(cv[l], config), valid)
+    k_l, v_l = ck[l], cv[l]
+    if cap is not None and cap < k_l.shape[1]:
+        k_l, v_l = k_l[:, :cap], v_l[:, :cap]
+    return dense.masked_attention(q, _unpack(k_l, config),
+                                  _unpack(v_l, config), valid)
 
 
-def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None):
+def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None,
+                cap: int | None = None):
     """Decode/verify/prefill against the target cache.
 
     caches = (ck, cv) stacked [L, B, S, Hkv*D]. Queries sit at absolute
     positions lengths_before + t; K is rotated before being appended
     (reference flow: mylib::rope -> update_kv -> attention,
     Engine/SnapKV/model.py:324-339).
+
+    `cap` (static) bounds the attended slot range: chunked prefill passes a
+    power-of-2 bucket >= the chunk's causal frontier, so early chunks don't
+    read (and dense-path compute over) the whole max_len cache. Lengths must
+    satisfy lengths_before + T <= cap.
     """
     def impl(q, k, v, caches, l):
         ck, cv = caches
@@ -92,7 +109,7 @@ def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None):
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend)
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend, cap=cap)
         return _flat(ctx), (ck, cv)
 
     return impl
@@ -218,7 +235,7 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
 
 def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
                         context_len: int, budget: int, window: int,
-                        attend=None):
+                        attend=None, cap: int | None = None):
     """Last prefill chunk: target prefill attention + SnapKV draft-cache build
     (reference: Attention.prefill is_last=True -> gen_draft_kv,
     Engine/SnapKV/model.py:383-445).
@@ -234,7 +251,10 @@ def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        cku, cvu = _unpack(ck[l], config), _unpack(cv[l], config)
+        k_l, v_l = ck[l], cv[l]
+        if cap is not None and cap < k_l.shape[1]:
+            k_l, v_l = k_l[:, :cap], v_l[:, :cap]
+        cku, cvu = _unpack(k_l, config), _unpack(v_l, config)
         att = attend or dense.masked_attention
         ctx = att(q, cku, cvu, valid)
 

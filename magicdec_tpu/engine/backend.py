@@ -38,15 +38,25 @@ from magicdec_tpu.models.config import ModelArgs
 # Pure step functions (jitted per static config)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("config", "last_only"),
+@functools.partial(jax.jit, static_argnames=("config", "last_only", "cap"),
                    donate_argnames=("cache",))
 def prefill_chunk_step(params, config: ModelArgs, cache: KVCache, tokens,
-                       last_only: bool = True):
-    impl = impls.target_attn(config, cache.lengths)
+                       last_only: bool = True, cap: int | None = None):
+    impl = impls.target_attn(config, cache.lengths, cap=cap)
     logits, (ck, cv) = llama.forward(params, config, tokens, impl,
                                      (cache.k, cache.v), last_only=last_only)
     new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
     return argmax_tokens(logits), new_cache
+
+
+def _pow2_cap(frontier: int, max_len: int) -> int:
+    """Power-of-2 attention bound >= the chunk's causal frontier: early
+    prefill chunks then neither read nor compute over the whole max_len
+    cache, while shapes stay bucketed (<= log2 compile variants)."""
+    cap = 128
+    while cap < frontier:
+        cap *= 2
+    return min(cap, max_len)
 
 
 @functools.partial(jax.jit,
@@ -57,7 +67,8 @@ def prefill_last_chunk_snapkv_step(params, config: ModelArgs, cache: KVCache,
                                    context_len: int, budget: int, window: int):
     """Final prefill chunk + SnapKV draft-cache construction."""
     impl = impls.prefill_snapkv_attn(config, cache.lengths, context_len,
-                                     budget, window)
+                                     budget, window,
+                                     cap=_pow2_cap(context_len, cache.max_len))
     logits, (ck, cv, dk, dv) = llama.forward(
         params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v),
         last_only=True)
@@ -266,8 +277,9 @@ class Engine:
                     context_len=P, budget=self.draft_budget,
                     window=self.window_size)
             else:
+                cap = _pow2_cap((i + 1) * chunk, self.max_len)
                 next_tok, self.cache = prefill_chunk_step(
-                    self.params, self.config, self.cache, tok)
+                    self.params, self.config, self.cache, tok, cap=cap)
         if self.spec == "streaming":
             self.draft = build_streaming_draft_step(
                 self.config, self.cache, self.draft,
