@@ -9,8 +9,6 @@ included via ml_dtypes).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np
