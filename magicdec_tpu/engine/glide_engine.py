@@ -276,6 +276,135 @@ def _is_eot_tok(tok, eot):
 
 
 # ---------------------------------------------------------------------------
+# Stochastic TREE verification (reference verify_stochastic L1178-1244:
+# per-node multi-round rejection sampling with residual renormalization)
+# ---------------------------------------------------------------------------
+
+def stochastic_tree_walk(key, tree: SpecTree, node_tokens, target_probs,
+                         draft_probs):
+    """SpecInfer-style stochastic root-to-leaf walk.
+
+    node_tokens [B, N]; target_probs/draft_probs [B, N, V]: the target's and
+    the draft's next-token distributions AT each node (draft_probs[n] is the
+    distribution the children of n were SAMPLED from). At each node the
+    children are tried in order: child c is accepted with prob
+    min(1, p(c)/q(c)); after each rejection the residual target distribution
+    becomes norm(max(p - q, 0)). If every child is rejected the bonus is
+    sampled from the final residual; if a leaf is reached the bonus is
+    sampled from the target distribution at the leaf. This preserves the
+    target marginal exactly (the speculative-sampling guarantee).
+
+    Returns (path [B, depth+1] node ids, emit_len [B], bonus [B, 1]).
+    """
+    B, N, V = target_probs.shape
+    cur = jnp.zeros((B,), jnp.int32)
+    emit_len = jnp.ones((B,), jnp.int32)
+    path = jnp.zeros((B, len(tree.branching) + 1), jnp.int32)
+    alive = jnp.ones((B,), bool)
+    # residual distribution carried for the bonus sample of rejected rows
+    p_resid = target_probs[:, 0]
+    for d, b in enumerate(tree.branching):
+        p = jnp.take_along_axis(target_probs, cur[:, None, None], 1)[:, 0]
+        q = jnp.take_along_axis(draft_probs, cur[:, None, None], 1)[:, 0]
+        lvl = jnp.asarray(tree.levels[d])
+        child_tbl = jnp.asarray(tree.levels[d + 1]).reshape(-1, b)
+        childs = child_tbl[jnp.searchsorted(lvl, cur)]       # [B, b]
+        ctoks = jnp.take_along_axis(node_tokens, childs, 1)  # [B, b]
+        accepted = jnp.zeros((B,), bool)
+        pick = jnp.zeros((B,), jnp.int32)
+        for i in range(b):
+            key, sub = jax.random.split(key)
+            tok_i = ctoks[:, i]
+            p_i = jnp.take_along_axis(p, tok_i[:, None], 1)[:, 0]
+            q_i = jnp.take_along_axis(q, tok_i[:, None], 1)[:, 0]
+            u = jax.random.uniform(sub, (B,))
+            acc_i = (u < jnp.minimum(p_i / jnp.maximum(q_i, 1e-20), 1.0)
+                     ) & ~accepted & alive
+            pick = jnp.where(acc_i, i, pick)
+            # rejected rows move to the residual distribution
+            move = ~accepted & alive & ~acc_i
+            p_new = jnp.maximum(p - q, 0.0)
+            p_new = p_new / jnp.maximum(jnp.sum(p_new, -1, keepdims=True),
+                                        1e-20)
+            p = jnp.where(move[:, None], p_new, p)
+            accepted = accepted | acc_i
+        nxt = jnp.take_along_axis(childs, pick[:, None], 1)[:, 0]
+        step_ok = accepted
+        cur = jnp.where(step_ok, nxt, cur)
+        path = path.at[:, d + 1].set(jnp.where(step_ok, nxt, 0))
+        emit_len = emit_len + step_ok.astype(jnp.int32)
+        # rows that reject every child at this level stop; their bonus comes
+        # from the residual p at the moment of rejection
+        p_resid = jnp.where((alive & ~step_ok)[:, None], p, p_resid)
+        alive = alive & step_ok
+    # rows that accepted a full path take the bonus from the leaf's target
+    leaf_p = jnp.take_along_axis(target_probs, cur[:, None, None], 1)[:, 0]
+    p_bonus = jnp.where(alive[:, None], leaf_p, p_resid)
+    key, sub = jax.random.split(key)
+    bonus = jax.random.categorical(
+        sub, jnp.log(jnp.maximum(p_bonus, 1e-30)))[:, None].astype(jnp.int32)
+    return path, emit_len, bonus
+
+
+def glide_tree_round_stochastic(params, glide_params, config: ModelArgs,
+                                tree: SpecTree, cache: KVCache, own_k, own_v,
+                                own_len, root_tok, eot, key,
+                                temperature: float = 1.0):
+    """Stochastic variant of glide_tree_round: children are SAMPLED from the
+    glide distribution (i.i.d. per child, as SpecInfer) and verified by
+    stochastic_tree_walk, so emitted tokens follow the target distribution
+    exactly rather than the greedy argmax chain."""
+    B = root_tok.shape[0]
+    N = tree.n_nodes
+    V = config.vocab_size
+    lenT0 = cache.lengths
+    anc = jnp.asarray(tree.ancestor)
+    depth_arr = jnp.asarray(tree.depth)
+
+    node_tokens = jnp.zeros((B, N), jnp.int32).at[:, 0].set(root_tok[:, 0])
+    draft_probs = jnp.full((B, N, V), 1.0 / V, jnp.float32)
+    Sd = own_k.shape[1]
+    for d, b in enumerate(tree.branching):
+        lvl = tree.levels[d]
+        n_lvl = len(lvl)
+        toks = node_tokens[:, jnp.asarray(lvl)]
+        pos = jnp.broadcast_to(lenT0[:, None] + d, (B, n_lvl))
+        mask = _tree_mask(jnp.asarray(tree.ancestor[lvl]), own_len, N, Sd)
+        logits, own_k, own_v = glide_lib.glide_forward(
+            glide_params, params, config, toks, pos, own_k, own_v,
+            own_len + int(lvl[0]), cache.k[-1], cache.v[-1],
+            jnp.broadcast_to(lenT0[:, None], (B, n_lvl)), attn_mask=mask)
+        logits = logits.astype(jnp.float32) / max(temperature, 1e-5)
+        probs = jax.nn.softmax(logits, -1)                   # [B, n_lvl, V]
+        draft_probs = draft_probs.at[:, jnp.asarray(lvl)].set(probs)
+        key, sub = jax.random.split(key)
+        draws = jax.random.categorical(sub, logits[:, :, None, :].repeat(b, 2))
+        child_ids = jnp.asarray(tree.levels[d + 1]).reshape(n_lvl, b)
+        node_tokens = node_tokens.at[:, child_ids].set(draws.astype(jnp.int32))
+
+    S = cache.k.shape[2]
+    positions = lenT0[:, None] + depth_arr[None, :]
+    full_mask = _tree_mask(anc, lenT0, N, S)
+    logits, (ck, cv) = llama.forward(
+        params, config, node_tokens,
+        _tree_target_impl(config, lenT0, positions, full_mask),
+        (cache.k, cache.v))
+    target_probs = jax.nn.softmax(
+        logits.astype(jnp.float32) / max(temperature, 1e-5), -1)
+
+    key, sub = jax.random.split(key)
+    path, emit_len, bonus = stochastic_tree_walk(sub, tree, node_tokens,
+                                                 target_probs, draft_probs)
+    emitted = jnp.take_along_axis(node_tokens, path, 1)
+    ck, cv = _compact_path((ck, cv), lenT0, path, emit_len)
+    own_k, own_v = _compact_path((own_k, own_v), own_len, path, emit_len)
+    new_cache = KVCache(ck, cv, lenT0 + emit_len)
+    terminal = jnp.any(_is_eot_tok(bonus[:, 0], eot))
+    return (new_cache, own_k, own_v, own_len + emit_len, emitted, emit_len,
+            bonus, terminal)
+
+
+# ---------------------------------------------------------------------------
 # Engine wrapper
 # ---------------------------------------------------------------------------
 

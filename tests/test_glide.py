@@ -105,3 +105,52 @@ def test_stochastic_verify_marginal_matches_target():
         counts[emitted] += 1
     freq = counts / n
     np.testing.assert_allclose(freq, np.asarray(tp[0, 0]), atol=0.04)
+
+
+def test_stochastic_tree_walk_marginal_matches_target():
+    """Depth-1 tree with b sampled children: the emitted first token's
+    marginal must equal the target distribution (SpecInfer guarantee)."""
+    from magicdec_tpu.engine.glide_engine import stochastic_tree_walk
+
+    V, b = 4, 2
+    tree = SpecTree((b,))
+    q = jnp.asarray([0.7, 0.1, 0.1, 0.1])
+    p = jnp.asarray([0.4, 0.3, 0.2, 0.1])
+    n = 4000
+    counts = np.zeros(V)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    for i in range(n):
+        k1, k2 = jax.random.split(keys[i])
+        draws = jax.random.categorical(k1, jnp.log(q), shape=(b,))
+        node_tokens = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), draws.astype(jnp.int32)])[None, :]
+        tp = jnp.broadcast_to(p, (1, tree.n_nodes, V))
+        dp = jnp.broadcast_to(q, (1, tree.n_nodes, V))
+        path, emit_len, bonus = stochastic_tree_walk(k2, tree, node_tokens,
+                                                     tp, dp)
+        if int(emit_len[0]) == 2:   # a child accepted -> it is the emission
+            counts[int(node_tokens[0, int(path[0, 1])])] += 1
+        else:                       # all rejected -> bonus is the emission
+            counts[int(bonus[0, 0])] += 1
+    freq = counts / n
+    np.testing.assert_allclose(freq, np.asarray(p), atol=0.035)
+
+
+def test_glide_tree_stochastic_runs_and_is_plausible(setup):
+    """End-to-end stochastic tree round: shapes, compaction, emit bounds."""
+    from magicdec_tpu.engine.glide_engine import glide_tree_round_stochastic
+
+    params, gp, prompt, base = setup
+    tree = SpecTree((2, 2))
+    eng = _mk_engine(params, gp, P + NEW + 8 * tree.n_nodes)
+    buffer0 = eng.encode(prompt)
+    out = glide_tree_round_stochastic(
+        eng.target.params, gp, CFG, tree, eng.target.cache, eng.own_k,
+        eng.own_v, eng.own_len, buffer0, jnp.asarray([-1, -1], jnp.int32),
+        jax.random.PRNGKey(3))
+    cache, ok, ov, olen, emitted, emit_len, bonus, terminal = out
+    assert emitted.shape == (B, 3)
+    el = np.asarray(emit_len)
+    assert ((1 <= el) & (el <= 3)).all()
+    np.testing.assert_array_equal(np.asarray(cache.lengths),
+                                  np.asarray(P + el))
