@@ -37,6 +37,12 @@ def main():
                    help="SnapKV observation window (reference --window_size)")
     p.add_argument("--sink_size", type=int, default=16,
                    help="StreamingLLM attention-sink tokens")
+    p.add_argument("--latest_k", type=int, default=128,
+                   help="quest/retro/squeeze forced-recent window "
+                        "(reference Quest --latest_k)")
+    p.add_argument("--retro_cap", type=int, default=32,
+                   help="retro/squeeze cluster capacity")
+    p.add_argument("--squeeze_threshold", type=float, default=0.01)
     args = p.parse_args()
     # reference asserts 128-alignment of prefix/budget (selfspec_benchmark.py:37-41)
     assert args.prefix_len % 128 == 0, "prefix_len must be a multiple of 128"
@@ -50,6 +56,8 @@ def main():
     engine = Engine(config, params, batch_size=args.B, max_len=max_len,
                     spec=args.spec, draft_budget=args.draft_budget,
                     window_size=args.window_size, sink_size=args.sink_size,
+                    latest_k=args.latest_k, retro_cap=args.retro_cap,
+                    squeeze_threshold=args.squeeze_threshold,
                     prefill_chunk=128, mesh=mesh)
     batches = common.load_batches(args, config.vocab_size)
 

@@ -174,17 +174,21 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
     contiguously — Engine/StreamingLLM/model.py:116-157). We instead store K
     ROTATED at its ORIGINAL absolute position (bit-identical to what the
     target cache holds, so the prefix can be gathered from it exactly) and
-    apply a DELTA rotation at read: rope rotations compose additively
-    (R(a)∘R(b) = R(a+b)), and remap − original = sink − window_start − evicted
-    is one constant per sequence for every window slot (0 for sink slots).
-    When nothing has been evicted the delta is 0 and the read rotation is an
-    exact identity — the budget ≥ context case is bit-exact with the target,
-    which the unrotate/re-rotate scheme cannot achieve in bf16.
+    exploit that rope attention depends only on RELATIVE positions: under the
+    remap, queries and window keys shift by the SAME per-sequence constant
+    delta = sink − window_start − evicted, so window scores equal the plain
+    true-position scores — no read rotation at all. Only the `sink` keys
+    (whose remapped position stays 0..sink-1) differ: rotating those few
+    slots by −delta reproduces the remapped geometry exactly. When nothing
+    has been evicted, delta = 0 and the rotation is an exact identity — the
+    budget ≥ context case is bit-exact with the target, which the reference's
+    unrotate/re-rotate scheme cannot achieve in bf16. (An earlier version
+    rotated the WHOLE cache by delta each step — same math, ~4x the draft
+    step cost.)
 
-    The whole (small, budget-bounded) cache is re-rotated at read (cheap, it
-    is O(budget) by design); the attention itself then runs through the SAME
-    flash kernel as the target/verify path (interval-mask form) so the
-    full-budget case stays bit-exact — or densely when attend= is forced.
+    The attention runs through the SAME flash kernel as the target/verify
+    path (interval-mask form) so the full-budget case stays bit-exact — or
+    densely when attend= is forced.
     caches = (dk, dv) sized [L, B, size >= budget + slack, Hkv*D].
     """
 
@@ -204,30 +208,29 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
         lengths_after = draft_lengths_before + T
         start = jnp.maximum(sink, lengths_after - (budget - sink))   # [B]
         delta = sink - start - evicted                               # [B] <= 0
-        # per-slot read rotation: identity on sink slots, R(delta) on window
-        slot = jnp.arange(size, dtype=jnp.int32)
-        slot_delta = jnp.where(slot[None, :] < sink, 0, delta[:, None])
-        cos, sin = rope_cos_sin(config, slot_delta)
-        k_read = apply_rope(_unpack(dk[l], config), cos, sin)
-        # queries sit in window slots: remapped position = true + delta
-        q = rope(config, q, evicted[:, None] + q_slot + delta[:, None])
+        # queries at TRUE positions; only the sink keys get the -delta twist
+        q = rope(config, q, k_true_pos)
+        k_l = dk[l]                                          # [B, size, HD]
+        cos, sin = rope_cos_sin(config, -delta[:, None])     # [B, 1, D]
+        sink_rot = apply_rope(_unpack(k_l[:, :sink], config), cos, sin)
+        k_read = jax.lax.dynamic_update_slice(
+            k_l, sink_rot.reshape(B, sink, -1).astype(k_l.dtype), (0, 0, 0))
         # valid = sink slots + live window, causal up to own slot:
         # [0, min(sink, q_slot+1)) ∪ [start, q_slot+1)
         if attend is None and _use_flash(config, T):
             from magicdec_tpu.ops.pallas.flash_decode import \
                 flash_decode_intervals
-            Bq = q.shape[0]
             hi = q_slot + 1
             ctx = flash_decode_intervals(
-                q, k_read.reshape(Bq, size, -1), dv[l],
-                jnp.minimum(sink, hi), jnp.broadcast_to(start[:, None], hi.shape),
-                hi)
+                q, k_read, dv[l], jnp.minimum(sink, hi),
+                jnp.broadcast_to(start[:, None], hi.shape), hi)
         else:
             att = attend or dense.masked_attention_general
+            slot = jnp.arange(size, dtype=jnp.int32)
             _, slot_valid = cache_lib.streaming_positions(lengths_after, size,
                                                           budget, sink)
             mask = slot_valid[:, None, :] & (slot[None, None, :] <= q_slot[:, :, None])
-            ctx = att(q, k_read, _unpack(dv[l], config), mask)
+            ctx = att(q, _unpack(k_read, config), _unpack(dv[l], config), mask)
         return _flat(ctx), (dk, dv)
 
     return impl

@@ -284,6 +284,10 @@ class Engine:
             self.draft = build_streaming_draft_step(
                 self.config, self.cache, self.draft,
                 budget=self.draft_budget, sink=self.sink_size)
+        if self.draft is not None:
+            # default round-start snapshot so the decode-side API is usable
+            # right after encode(); begin_spec_round() refreshes it per round
+            self._draft_round_start_lengths = self.draft.lengths
         return next_tok
 
     # -- decode-side API ------------------------------------------------------

@@ -81,47 +81,59 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
-        # ---- page scores: sum_{g,d} max(q*kmin, q*kmax), [B, Hkv, P] -------
+        # ---- page scores: sum_{g,d} max(q*kmin, q*kmax) per head, then
+        # SUMMED OVER HEADS: upstream Quest selects pages per attention head,
+        # but on TPU a per-head gather needs either a full-cache relayout or
+        # a slow element gather (measured 70+ ms per draft step); selecting
+        # one shared page set per sequence keeps the gather a handful of
+        # contiguous [page, Hkv*D] dynamic slices from the packed cache
+        # (every head's data for those slots travels together).
         qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
         mn = kmin[l].reshape(B, P, Hkv, Dh)
         mx = kmax[l].reshape(B, P, Hkv, Dh)
         lo = jnp.einsum("bthgd,bphd->bthgp", qg, mn)
         hi = jnp.einsum("bthgd,bphd->bthgp", qg, mx)
-        scores = jnp.sum(jnp.maximum(lo, hi), axis=3)[:, -1]     # [B, Hkv, P]
+        scores = jnp.sum(jnp.maximum(lo, hi), axis=(2, 3))[:, -1]  # [B, P]
         # forced-recent pages and not-yet-written pages are excluded from
         # top-k (recent pages are appended separately below)
         last_page = (lengths_before + T - 1) // page             # [B]
         recent_lo = jnp.maximum(last_page - (latest_pages - 1), 0)
         pid = jnp.arange(P, dtype=jnp.int32)
-        selectable = (pid[None, :] < recent_lo[:, None])
-        scores = jnp.where(selectable[:, None, :], scores, NEG_INF)
-        _, top_pages = jax.lax.top_k(scores, n_pages)            # [B, Hkv, n]
-        # append the forced recent pages (per sequence, same for all heads)
+        scores = jnp.where(pid[None, :] < recent_lo[:, None], scores, NEG_INF)
+        _, top_pages = jax.lax.top_k(scores, n_pages)            # [B, n]
         recent = recent_lo[:, None] + jnp.arange(latest_pages, dtype=jnp.int32)[None, :]
-        recent = jnp.broadcast_to(recent[:, None, :], (B, Hkv, latest_pages))
-        pages = jnp.concatenate([top_pages, recent], axis=2)     # [B,Hkv,n+r]
+        pages = jnp.concatenate([top_pages, recent], axis=1)     # [B, n+r]
 
-        # ---- gather selected pages per (b, kv-head) ------------------------
-        slot_sel = (pages[..., None] * page
-                    + jnp.arange(page, dtype=jnp.int32)).reshape(B, Hkv, -1)
-        kv = ck[l].reshape(B, S, Hkv, Dh)
-        vv = cv[l].reshape(B, S, Hkv, Dh)
-        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
-        k_sel = take(kv, slot_sel)                               # [B,Hkv,Ssel,Dh]
-        v_sel = take(vv, slot_sel)
+        # ---- gather the pages as contiguous [page, Hkv*D] blocks ------------
+        # On TPU a scalar-prefetched Pallas DMA gather (the reference's
+        # gather_copy.cu counterpart); XLA's block gather measured ~60 GB/s
+        # and gets re-executed when fused into both attention matmuls.
+        if jax.default_backend() == "tpu":
+            from magicdec_tpu.ops.pallas.page_gather import page_gather
+            k_sel, v_sel = page_gather(ck, cv, l, pages, page=page)
+        else:
+            HD = ck.shape[3]
+
+            def slice_page(b, p):
+                blk = jax.lax.dynamic_slice(ck, (l, b, p * page, 0),
+                                            (1, 1, page, HD))
+                vlk = jax.lax.dynamic_slice(cv, (l, b, p * page, 0),
+                                            (1, 1, page, HD))
+                return blk[0, 0], vlk[0, 0]
+
+            take = jax.vmap(jax.vmap(slice_page, (None, 0)), (0, 0))
+            k_sel, v_sel = take(jnp.arange(B), pages)      # [B, n+r, page, HD]
+        n_sel = pages.shape[1]
+        k_sel = k_sel.reshape(B, n_sel * page, Hkv, Dh)
+        v_sel = v_sel.reshape(B, n_sel * page, Hkv, Dh)
+        slot_sel = (pages[:, :, None] * page
+                    + jnp.arange(page, dtype=jnp.int32)).reshape(B, -1)
 
         # ---- dense attention over the selected slots -----------------------
         upto = dense.decode_valid_upto(lengths_before, T)        # [B, T]
-        mask = slot_sel[:, None, :, :] < upto[:, :, None, None]  # [B,T,Hkv,Ssel]
-        logits = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
-                            k_sel, preferred_element_type=jnp.float32)
-        logits = logits * (Dh ** -0.5)
-        logits = jnp.where(mask[:, :, :, None, :], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
-                         preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype)
-        return ctx, (ck, cv)
+        mask = slot_sel[:, None, :] < upto[:, :, None]          # [B, T, Ssel]
+        ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
+        return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
 
     return impl
 

@@ -34,6 +34,7 @@ from magicdec_tpu.cache import KVCache
 from magicdec_tpu.engine.sampling import argmax_tokens
 from magicdec_tpu.models import llama
 from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops import attention as dense
 from magicdec_tpu.ops.kmeans import kmeans
 from magicdec_tpu.ops.rope import rope
 
@@ -43,29 +44,33 @@ NEG_INF = -1e30
 @functools.partial(jax.jit, static_argnames=("config", "n_clusters", "cap"))
 def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
                         cap: int):
-    """Cluster every (layer, sequence, KV head)'s keys.
+    """Cluster every (layer, sequence)'s keys over the FULL packed rows
+    (all KV heads jointly).
 
-    Returns (centroids [L,B,Hkv,C,D] f32, slots [L,B,Hkv,C,cap] int32 with -1
-    padding). cap bounds cluster size; overflow members are dropped from the
-    index (scoring remains sound — they are recoverable only through other
-    clusters — matching the reference's fixed n_clusters = ctx/16 sizing
-    where overflow is rare).
+    Returns (centroids [L,B,C,Hkv*D] f32, slots [L,B,C,cap] int32 with -1
+    padding). The upstream RetroInfer clusters per attention head, but a
+    per-head member gather on TPU needs either a full-cache relayout or an
+    element gather of 64-wide rows (both measured catastrophically slow);
+    clustering the concatenated per-slot key rows keeps ONE shared member
+    list whose gather is full [Hkv*D]-wide rows — every head's data for a
+    selected slot travels together, no redundancy. cap bounds cluster size;
+    overflow members are dropped from the index (scoring stays sound, they
+    are reachable only through other clusters — matching the reference's
+    n_clusters = ctx/16 sizing where overflow is rare).
     """
     L, B, S, HD = cache.k.shape
-    Hkv, Dh = config.n_kv_head, config.head_dim
-    k = cache.k.reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
     slot = jnp.arange(S, dtype=jnp.int32)
     valid = (slot[None, :] < cache.lengths[:, None]).astype(jnp.float32)
-    valid = jnp.broadcast_to(valid[None, :, None, :], (L, B, Hkv, S))
-    cent, assign = kmeans(k, valid, n_clusters)            # [...,C,D], [...,S]
+    valid = jnp.broadcast_to(valid[None], (L, B, S))
+    cent, assign = kmeans(cache.k, valid, n_clusters)      # [L,B,C,HD], [L,B,S]
 
     # per-cluster member slots, capped: rank each slot within its cluster by
     # slot order, then scatter slot ids into the [C, cap] table
     onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.int32)
-    onehot = onehot * valid.astype(jnp.int32)[..., None]   # [L,B,H,S,C]
+    onehot = onehot * valid.astype(jnp.int32)[..., None]   # [L,B,S,C]
     rank = jnp.cumsum(onehot, axis=-2) - 1                 # member index
     member_rank = jnp.take_along_axis(rank, assign[..., None],
-                                      axis=-1)[..., 0]     # [L,B,H,S]
+                                      axis=-1)[..., 0]     # [L,B,S]
     is_member = jnp.take_along_axis(onehot, assign[..., None],
                                     axis=-1)[..., 0] > 0
     ok = is_member & (member_rank < cap)
@@ -75,17 +80,18 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
         out = jnp.full((n_clusters * cap,), -1, jnp.int32)
         return out.at[ft].set(slot, mode="drop")
 
-    slots = jax.vmap(jax.vmap(jax.vmap(scatter_slots)))(flat_target)
-    return cent, slots.reshape(L, B, Hkv, n_clusters, cap)
+    slots = jax.vmap(jax.vmap(scatter_slots))(flat_target)
+    return cent, slots.reshape(L, B, n_clusters, cap)
 
 
 def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                      centroids, cluster_slots, *, nprobe: int, recent: int):
     """attn_impl for one RetroInfer-style draft step.
 
-    caches = (ck, cv); centroids [L,B,Hkv,C,D], cluster_slots [L,B,Hkv,C,cap].
-    Selected-cluster members + the recent window are gathered from the target
-    cache and attended densely.
+    caches = (ck, cv); centroids [L,B,C,Hkv*D], cluster_slots [L,B,C,cap]
+    (joint over heads, see build_cluster_index). Selected-cluster members +
+    the recent window are gathered from the target cache and attended
+    densely.
     """
     Hkv, Dh = config.n_kv_head, config.head_dim
     G = config.n_head // Hkv
@@ -101,45 +107,50 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
         # ---- centroid scores (reference: batch_gemm_softmax over centroids;
-        # here the fused Pallas kernel on TPU, XLA elsewhere)
+        # here the fused Pallas kernel on TPU, XLA elsewhere); per-head
+        # scores summed over heads to rank the shared clusters
         from magicdec_tpu.ops.pallas.gemm_softmax import (centroid_scores,
                                                           centroid_scores_xla)
-        cent = centroids[l]                                # [B,Hkv,C,D]
+        C = centroids.shape[2]
+        cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
         if jax.default_backend() == "tpu":
             scores = centroid_scores(q, cent)              # [B,Hkv,C]
         else:
             scores = centroid_scores_xla(q, cent)
-        _, top_c = jax.lax.top_k(scores, nprobe)           # [B,Hkv,nprobe]
+        scores = jnp.sum(scores, axis=1)                   # [B, C]
+        _, top_c = jax.lax.top_k(scores, nprobe)           # [B, nprobe]
 
-        # ---- gather selected clusters' member slots ------------------------
-        cs = cluster_slots[l]                              # [B,Hkv,C,cap]
-        take_c = jax.vmap(jax.vmap(lambda a, i: a[i]))
-        sel = take_c(cs, top_c).reshape(B, Hkv, -1)        # [B,Hkv,nprobe*cap]
+        # ---- gather selected clusters' member slots (shared across heads) --
+        cs = cluster_slots[l]                              # [B, C, cap]
+        sel = jax.vmap(lambda a, i: a[i])(cs, top_c).reshape(B, -1)
         # forced recent window (covers the spec tokens written this round)
         rec = (lengths_before[:, None] + T - recent
                + jnp.arange(recent, dtype=jnp.int32)[None, :])
-        rec = jnp.broadcast_to(rec[:, None, :], (B, Hkv, recent))
-        slot_sel = jnp.concatenate([sel, rec], axis=2)     # [B,Hkv,Ssel]
+        slot_sel = jnp.concatenate([sel, rec], axis=1)     # [B, Ssel]
         member_ok = slot_sel >= 0
         slot_gather = jnp.clip(slot_sel, 0, S - 1)
 
-        kv = ck[l].reshape(B, S, Hkv, Dh)
-        vv = cv[l].reshape(B, S, Hkv, Dh)
-        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
-        k_sel = take(kv, slot_gather)                      # [B,Hkv,Ssel,Dh]
-        v_sel = take(vv, slot_gather)
+        # full packed rows sliced DIRECTLY from the stacked cache (indexing
+        # ck[l] first would materialize a full layer copy per draft step)
+        HD = ck.shape[3]
+
+        def slice_row(b, s):
+            kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
+            vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
+            return kr[0, 0, 0], vr[0, 0, 0]
+
+        take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
+        k_sel, v_sel = take(jnp.arange(B), slot_gather)    # [B, Ssel, HD]
+        Ssel = slot_gather.shape[1]
+        k_sel = k_sel.reshape(B, Ssel, Hkv, Dh)
+        v_sel = v_sel.reshape(B, Ssel, Hkv, Dh)
 
         from magicdec_tpu.ops.attention import decode_valid_upto
         upto = decode_valid_upto(lengths_before, T)
-        mask = (member_ok[:, None] & (slot_gather[:, None] < upto[:, :, None, None]))
-        att = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
-                         k_sel, preferred_element_type=jnp.float32)
-        att = att * (Dh ** -0.5)
-        att = jnp.where(mask[:, :, :, None, :], att, NEG_INF)
-        probs = jax.nn.softmax(att, axis=-1)
-        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
-                         preferred_element_type=jnp.float32)
-        return ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype), (ck, cv)
+        mask = (member_ok[:, None, :]
+                & (slot_gather[:, None, :] < upto[:, :, None]))  # [B,T,Ssel]
+        ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
+        return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
 
     return impl
 
@@ -223,36 +234,32 @@ class HostClusterStore:
         from magicdec_tpu.engine.wave_buffer import HostWaveBuffer
 
         L, B, S, HD = cache.k.shape
-        Hkv, Dh = config.n_kv_head, config.head_dim
-        C = cluster_slots.shape[3]
-        self.shape = (L, B, Hkv, C, cap, Dh)
+        C = cluster_slots.shape[2]
+        self.shape = (L, B, C, cap, HD)
         itemsize = jnp.dtype(cache.k.dtype).itemsize
-        slot_bytes = cap * Dh * 2 * itemsize                # K and V blocks
-        self.buf = HostWaveBuffer(L * B * Hkv * C, slot_bytes)
-        # materialize clustered K/V once (host-side numpy gather)
-        k = np.asarray(cache.k).reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
-        v = np.asarray(cache.v).reshape(L, B, S, Hkv, Dh).transpose(0, 1, 3, 2, 4)
-        cs = np.asarray(cluster_slots)                      # [L,B,H,C,cap]
+        slot_bytes = cap * HD * 2 * itemsize                # K and V blocks
+        self.buf = HostWaveBuffer(L * B * C, slot_bytes)
+        # materialize clustered K/V once (host-side numpy gather of the full
+        # packed rows — clusters are joint over heads, build_cluster_index)
+        k = np.asarray(cache.k)                             # [L,B,S,HD]
+        v = np.asarray(cache.v)
+        cs = np.asarray(cluster_slots)                      # [L,B,C,cap]
         csc = np.clip(cs, 0, S - 1)
-        # straightforward gather loop over L*B*H (prefill-time, host-side)
-        blocks = np.empty((L, B, Hkv, C, 2, cap, Dh), k.dtype)
+        blocks = np.empty((L, B, C, 2, cap, HD), k.dtype)
         for li in range(L):
             for bi in range(B):
-                for hi in range(Hkv):
-                    sel = csc[li, bi, hi]                  # [C, cap]
-                    blocks[li, bi, hi, :, 0] = k[li, bi, hi][sel]
-                    blocks[li, bi, hi, :, 1] = v[li, bi, hi][sel]
+                sel = csc[li, bi]                           # [C, cap]
+                blocks[li, bi, :, 0] = k[li, bi][sel]
+                blocks[li, bi, :, 1] = v[li, bi][sel]
         self.member_valid = cs >= 0
-        self.buf.put(0, blocks.reshape(L * B * Hkv * C, -1))
+        self.buf.put(0, blocks.reshape(L * B * C, -1))
         self.dtype = k.dtype
-        self.cap, self.Dh, self.C = cap, Dh, C
+        self.cap, self.HD, self.C = cap, HD, C
 
     def gather_clusters(self, layer: int, top_c: np.ndarray) -> np.ndarray:
-        """top_c [B, Hkv, nprobe] -> K/V blocks [B, Hkv, nprobe, 2, cap, Dh]."""
-        L, B, Hkv, C = self.shape[0], self.shape[1], self.shape[2], self.C
-        base = (layer * B * Hkv)
-        ids = ((base + np.arange(B)[:, None, None] * Hkv
-                + np.arange(Hkv)[None, :, None]) * C + top_c).reshape(-1)
+        """top_c [B, nprobe] -> K/V blocks [B, nprobe, 2, cap, Hkv*D]."""
+        B, C = self.shape[1], self.C
+        ids = ((layer * B + np.arange(B)[:, None]) * C + top_c).reshape(-1)
         out = self.buf.gather(ids.astype(np.int64))
-        return out.view(self.dtype).reshape(B, Hkv, top_c.shape[-1], 2,
-                                            self.cap, self.Dh)
+        return out.view(self.dtype).reshape(B, top_c.shape[-1], 2,
+                                            self.cap, self.HD)

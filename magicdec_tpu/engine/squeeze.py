@@ -31,6 +31,7 @@ from magicdec_tpu.engine.retro import build_cluster_index
 from magicdec_tpu.engine.sampling import argmax_tokens
 from magicdec_tpu.models import llama
 from magicdec_tpu.models.config import ModelArgs
+from magicdec_tpu.ops import attention as dense
 from magicdec_tpu.ops.rope import rope
 
 NEG_INF = -1e30
@@ -41,9 +42,10 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                        max_clusters: int, threshold: float, recent: int):
     """attn_impl for one SqueezedAttention draft step.
 
-    counts: [L, B, Hkv, C] member counts (for mass estimation). A cluster's
-    estimated softmax mass = count * softmax(q . centroid); clusters whose
-    mass fraction clears `threshold` (of the total estimate) are attended,
+    centroids [L,B,C,Hkv*D] / cluster_slots [L,B,C,cap] are joint over heads
+    (see retro.build_cluster_index); counts [L,B,C] are member counts. A
+    cluster's estimated softmax mass = count * softmax(q . centroid), summed
+    over heads; clusters whose mass fraction clears `threshold` are attended,
     bounded above by max_clusters.
     """
     Hkv, Dh = config.n_kv_head, config.head_dim
@@ -53,7 +55,6 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         ck, cv = caches
         B, T = q.shape[:2]
         S = ck.shape[2]
-        cap = cluster_slots.shape[-1]
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
@@ -61,44 +62,45 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
         # estimated per-cluster softmax mass (count-weighted centroid score)
+        C = centroids.shape[2]
         qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
-        cent = centroids[l]                                # [B,Hkv,C,D]
-        logit = jnp.einsum("bthgd,bhcd->bthgc", qg, cent) * (Dh ** -0.5)
-        w = jax.nn.softmax(logit, axis=-1) * counts[l][:, None, :, None, :]
-        mass = jnp.sum(w, axis=(1, 3))                     # [B,Hkv,C]
+        cent = centroids[l].reshape(B, C, Hkv, Dh)         # [B,C,Hkv,D]
+        logit = jnp.einsum("bthgd,bchd->bthgc", qg, cent) * (Dh ** -0.5)
+        w = jax.nn.softmax(logit, axis=-1) * counts[l][:, None, None, None, :]
+        mass = jnp.sum(w, axis=(1, 2, 3))                  # [B, C]
         mass = mass / jnp.maximum(jnp.sum(mass, -1, keepdims=True), 1e-9)
         top_mass, top_c = jax.lax.top_k(mass, max_clusters)
-        keep = top_mass >= threshold                       # [B,Hkv,maxC]
+        keep = top_mass >= threshold                       # [B, maxC]
 
-        cs = cluster_slots[l]                              # [B,Hkv,C,cap]
-        take_c = jax.vmap(jax.vmap(lambda a, i: a[i]))
-        sel = take_c(cs, top_c)                            # [B,Hkv,maxC,cap]
-        sel = jnp.where(keep[..., None], sel, -1).reshape(B, Hkv, -1)
+        cs = cluster_slots[l]                              # [B, C, cap]
+        sel = jax.vmap(lambda a, i: a[i])(cs, top_c)       # [B, maxC, cap]
+        sel = jnp.where(keep[..., None], sel, -1).reshape(B, -1)
         rec = (lengths_before[:, None] + T - recent
                + jnp.arange(recent, dtype=jnp.int32)[None, :])
-        rec = jnp.broadcast_to(rec[:, None, :], (B, Hkv, recent))
-        slot_sel = jnp.concatenate([sel, rec], axis=2)
+        slot_sel = jnp.concatenate([sel, rec], axis=1)     # [B, Ssel]
         member_ok = slot_sel >= 0
         slot_gather = jnp.clip(slot_sel, 0, S - 1)
 
-        kv = ck[l].reshape(B, S, Hkv, Dh)
-        vv = cv[l].reshape(B, S, Hkv, Dh)
-        take = jax.vmap(jax.vmap(lambda a, i: a[i], (1, 0), 0), (0, 0), 0)
-        k_sel = take(kv, slot_gather)
-        v_sel = take(vv, slot_gather)
+        # full packed rows sliced directly from the stacked cache
+        HD = ck.shape[3]
+
+        def slice_row(b, s):
+            kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
+            vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
+            return kr[0, 0, 0], vr[0, 0, 0]
+
+        take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
+        k_sel, v_sel = take(jnp.arange(B), slot_gather)    # [B, Ssel, HD]
+        Ssel = slot_gather.shape[1]
+        k_sel = k_sel.reshape(B, Ssel, Hkv, Dh)
+        v_sel = v_sel.reshape(B, Ssel, Hkv, Dh)
 
         from magicdec_tpu.ops.attention import decode_valid_upto
         upto = decode_valid_upto(lengths_before, T)
-        mask = (member_ok[:, None]
-                & (slot_gather[:, None] < upto[:, :, None, None]))
-        att = jnp.einsum("bthgd,bhsd->bthgs", q.reshape(B, T, Hkv, G, Dh),
-                         k_sel, preferred_element_type=jnp.float32)
-        att = att * (Dh ** -0.5)
-        att = jnp.where(mask[:, :, :, None, :], att, NEG_INF)
-        probs = jax.nn.softmax(att, axis=-1)
-        ctx = jnp.einsum("bthgs,bhsd->bthgd", probs.astype(v_sel.dtype), v_sel,
-                         preferred_element_type=jnp.float32)
-        return ctx.reshape(B, T, Hkv * G * Dh).astype(q.dtype), (ck, cv)
+        mask = (member_ok[:, None, :]
+                & (slot_gather[:, None, :] < upto[:, :, None]))
+        ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
+        return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
 
     return impl
 

@@ -92,3 +92,26 @@ def test_b_block_partition_is_bitexact():
     finally:
         fd._pick_b_block = orig
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o4))
+
+
+def test_page_gather_matches_slices():
+    from magicdec_tpu.ops.pallas.page_gather import page_gather
+
+    L2, B2, S2, HD2, page = 2, 3, 512, 128, 128
+    key = jax.random.PRNGKey(0)
+    k = jax.random.normal(key, (L2, B2, S2, HD2), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (L2, B2, S2, HD2),
+                          jnp.float32)
+    pages = jnp.asarray([[0, 3], [2, 2], [1, 0]], jnp.int32)
+    for l in (0, 1):
+        ks, vs = page_gather(k, v, jnp.int32(l), pages, page=page,
+                             interpret=True)
+        for b in range(B2):
+            for j in range(2):
+                p = int(pages[b, j])
+                np.testing.assert_array_equal(
+                    np.asarray(ks[b, j]),
+                    np.asarray(k[l, b, p * page:(p + 1) * page]))
+                np.testing.assert_array_equal(
+                    np.asarray(vs[b, j]),
+                    np.asarray(v[l, b, p * page:(p + 1) * page]))

@@ -36,12 +36,11 @@ def test_cluster_index_slots_cover_members():
     cent, slots = retro_lib.build_cluster_index(CFG.replace(n_kv_head=2,
                                                             n_head=4, dim=32),
                                                 c, n_clusters=8, cap=64)
-    s = np.asarray(slots)[0, 0]           # [H, C, cap]
-    for h in range(2):
-        members = s[h][s[h] >= 0]
-        assert len(np.unique(members)) == len(members)
-        assert (members < 200).all()
-        assert len(members) == 200        # every valid slot indexed once
+    s = np.asarray(slots)[0, 0]           # [C, cap] (joint over heads)
+    members = s[s >= 0]
+    assert len(np.unique(members)) == len(members)
+    assert (members < 200).all()
+    assert len(members) == 200            # every valid slot indexed once
 
 
 def test_wave_buffer_roundtrip():
@@ -86,12 +85,52 @@ def test_host_cluster_store_gather(setup):
     cent, slots = retro_lib.build_cluster_index(cfg, eng.cache, n_clusters=8,
                                                 cap=96)
     store = retro_lib.HostClusterStore(cfg, eng.cache, slots, cap=96)
-    top_c = np.zeros((B, cfg.n_kv_head, 2), np.int64)
-    top_c[..., 1] = 3
+    HD = cfg.n_kv_head * cfg.head_dim
+    top_c = np.zeros((B, 2), np.int64)
+    top_c[:, 1] = 3
     blocks = store.gather_clusters(0, top_c)
-    assert blocks.shape == (B, cfg.n_kv_head, 2, 2, 96, cfg.head_dim)
+    assert blocks.shape == (B, 2, 2, 96, HD)
     # cross-check one block against a direct device-side gather
-    s = np.clip(np.asarray(slots)[0, 0, 0, 0], 0, eng.cache.k.shape[2] - 1)
-    k_dev = np.asarray(eng.cache.k).reshape(
-        cfg.n_layer, B, -1, cfg.n_kv_head, cfg.head_dim)[0, 0, :, 0][s]
-    np.testing.assert_array_equal(blocks[0, 0, 0, 0], k_dev)
+    s = np.clip(np.asarray(slots)[0, 0, 0], 0, eng.cache.k.shape[2] - 1)
+    k_dev = np.asarray(eng.cache.k)[0, 0][s]
+    np.testing.assert_array_equal(blocks[0, 0, 0], k_dev)
+
+
+def test_host_offload_attention_matches_device_gather(setup):
+    """Full offload dataflow: centroid scoring on device -> top clusters ->
+    K/V blocks gathered FROM THE HOST wave buffer -> attention on device,
+    numerically identical to gathering the same slots from the device cache
+    (the capacity path reads the same bytes)."""
+    params, prompt, _ = setup
+    cfg = CFG
+    eng = Engine(cfg, params, batch_size=B, max_len=P + 16, prefill_chunk=128,
+                 kv_dtype=jnp.float32)
+    eng.encode(prompt)
+    cap, C, nprobe = 96, 8, 3
+    cent, slots = retro_lib.build_cluster_index(cfg, eng.cache, n_clusters=C,
+                                                cap=cap)
+    store = retro_lib.HostClusterStore(cfg, eng.cache, slots, cap=cap)
+    HD = cfg.n_kv_head * cfg.head_dim
+
+    # pick top clusters for a random query (layer 0), head-summed scores
+    from magicdec_tpu.ops.pallas.gemm_softmax import centroid_scores_xla
+    q = jax.random.normal(jax.random.PRNGKey(9),
+                          (B, 1, cfg.n_head, cfg.head_dim), jnp.float32)
+    cent0 = cent[0].reshape(B, C, cfg.n_kv_head,
+                            cfg.head_dim).transpose(0, 2, 1, 3)
+    scores = jnp.sum(centroid_scores_xla(q, cent0), axis=1)   # [B, C]
+    _, top_c = jax.lax.top_k(scores, nprobe)                  # [B, nprobe]
+
+    # host path: gather blocks from the C++ buffer
+    blocks = store.gather_clusters(0, np.asarray(top_c, np.int64))
+    k_host = jnp.asarray(blocks[:, :, 0]).reshape(B, nprobe * cap, HD)
+    v_host = jnp.asarray(blocks[:, :, 1]).reshape(B, nprobe * cap, HD)
+
+    # device path: gather the same slots from the device cache
+    S = eng.cache.k.shape[2]
+    cs = jnp.clip(slots[0], 0, S - 1)
+    sel = jax.vmap(lambda a, i: a[i])(cs, top_c).reshape(B, -1)
+    k_dev = jax.vmap(lambda a, i: a[i])(eng.cache.k[0], sel)
+    v_dev = jax.vmap(lambda a, i: a[i])(eng.cache.v[0], sel)
+    np.testing.assert_array_equal(np.asarray(k_host), np.asarray(k_dev))
+    np.testing.assert_array_equal(np.asarray(v_host), np.asarray(v_dev))
