@@ -84,14 +84,32 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
     return cent, slots.reshape(L, B, n_clusters, cap)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
+    """Materialize cluster-major K/V copies [L, B, C*cap, HD] (one
+    prefill-time gather), so draft steps fetch whole clusters as contiguous
+    blocks through the Pallas DMA gather — the device analog of the
+    reference's CPU wave buffer layout (cluster-major bytes, gather by
+    cluster id). Pad slots (-1) hold garbage and are masked at attention.
+    Costs ~(C*cap/S)x extra cache memory, paid only by retro/squeeze."""
+    L, B, S, HD = cache.k.shape
+    src = jnp.clip(cluster_slots, 0, S - 1).reshape(L, B, -1)  # [L,B,C*cap]
+    take = jax.vmap(jax.vmap(lambda a, i: a[i]))
+    return take(cache.k, src), take(cache.v, src)
+
+
 def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
-                     centroids, cluster_slots, *, nprobe: int, recent: int):
+                     centroids, cluster_slots, clustered_kv=None, *,
+                     nprobe: int, recent: int):
     """attn_impl for one RetroInfer-style draft step.
 
     caches = (ck, cv); centroids [L,B,C,Hkv*D], cluster_slots [L,B,C,cap]
     (joint over heads, see build_cluster_index). Selected-cluster members +
-    the recent window are gathered from the target cache and attended
-    densely.
+    the recent window are gathered and attended densely. When
+    `clustered_kv` (the cluster-major store from build_clustered_store) is
+    given — the TPU fast path — clusters are fetched as contiguous blocks
+    through the Pallas DMA gather; otherwise member rows are sliced from the
+    stacked cache.
     """
     Hkv, Dh = config.n_kv_head, config.head_dim
     G = config.n_head // Hkv
@@ -123,24 +141,48 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         # ---- gather selected clusters' member slots (shared across heads) --
         cs = cluster_slots[l]                              # [B, C, cap]
         sel = jax.vmap(lambda a, i: a[i])(cs, top_c).reshape(B, -1)
-        # forced recent window (covers the spec tokens written this round)
-        rec = (lengths_before[:, None] + T - recent
-               + jnp.arange(recent, dtype=jnp.int32)[None, :])
+        # forced recent window (covers the spec tokens written this round);
+        # its start is clamped at 0 and the slot ids are derived from the
+        # clamped start so gathered data and mask ids stay aligned. Overlap
+        # with cluster members double-counts those keys in the softmax — an
+        # accepted approximation (slight recent-key upweighting), also
+        # present upstream when the steady zone meets the wave index.
+        rec0 = jnp.maximum(lengths_before + T - recent, 0)  # [B]
+        rec = rec0[:, None] + jnp.arange(recent, dtype=jnp.int32)[None, :]
         slot_sel = jnp.concatenate([sel, rec], axis=1)     # [B, Ssel]
         member_ok = slot_sel >= 0
         slot_gather = jnp.clip(slot_sel, 0, S - 1)
-
-        # full packed rows sliced DIRECTLY from the stacked cache (indexing
-        # ck[l] first would materialize a full layer copy per draft step)
         HD = ck.shape[3]
+        cap = cluster_slots.shape[3]
 
-        def slice_row(b, s):
-            kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
-            vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
-            return kr[0, 0, 0], vr[0, 0, 0]
+        if clustered_kv is not None:
+            # cluster blocks from the cluster-major store (Pallas DMA) + the
+            # recent window as one contiguous dynamic_slice from the cache
+            from magicdec_tpu.ops.pallas.page_gather import page_gather
+            cl_k, cl_v = clustered_kv                      # [L,B,C*cap,HD]
+            kc, vc = page_gather(cl_k, cl_v, l, top_c, page=cap)
+            kc = kc.reshape(B, -1, HD)
+            vc = vc.reshape(B, -1, HD)
 
-        take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
-        k_sel, v_sel = take(jnp.arange(B), slot_gather)    # [B, Ssel, HD]
+            def rec_slice(b, s0):
+                kr = jax.lax.dynamic_slice(ck, (l, b, s0, 0),
+                                           (1, 1, recent, HD))
+                vr = jax.lax.dynamic_slice(cv, (l, b, s0, 0),
+                                           (1, 1, recent, HD))
+                return kr[0, 0], vr[0, 0]
+
+            kr, vr = jax.vmap(rec_slice)(jnp.arange(B), rec0)
+            k_sel = jnp.concatenate([kc, kr], axis=1)
+            v_sel = jnp.concatenate([vc, vr], axis=1)
+        else:
+            # full packed rows sliced from the stacked cache (CPU fallback)
+            def slice_row(b, s):
+                kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
+                vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
+                return kr[0, 0, 0], vr[0, 0, 0]
+
+            take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
+            k_sel, v_sel = take(jnp.arange(B), slot_gather)  # [B, Ssel, HD]
         Ssel = slot_gather.shape[1]
         k_sel = k_sel.reshape(B, Ssel, Hkv, Dh)
         v_sel = v_sel.reshape(B, Ssel, Hkv, Dh)
@@ -174,6 +216,8 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     max_len = cache.k.shape[2]
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
+    clustered_kv = (build_clustered_store(cache, cluster_slots, cap)
+                    if jax.default_backend() == "tpu" else None)
 
     def cond(state):
         cache, gen_counts, terminal = state[0], state[3], state[6]
@@ -190,7 +234,8 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
         drafted = []
         for _ in range(gamma):
             impl = retro_draft_attn(config, lens, centroids, cluster_slots,
-                                    nprobe=nprobe, recent=recent)
+                                    clustered_kv, nprobe=nprobe,
+                                    recent=recent)
             logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                              (ck, cv), last_only=True)
             tok = argmax_tokens(logits)

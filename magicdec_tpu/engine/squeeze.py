@@ -38,7 +38,7 @@ NEG_INF = -1e30
 
 
 def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
-                       centroids, cluster_slots, counts, *,
+                       centroids, cluster_slots, counts, clustered_kv=None, *,
                        max_clusters: int, threshold: float, recent: int):
     """attn_impl for one SqueezedAttention draft step.
 
@@ -75,22 +75,39 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         cs = cluster_slots[l]                              # [B, C, cap]
         sel = jax.vmap(lambda a, i: a[i])(cs, top_c)       # [B, maxC, cap]
         sel = jnp.where(keep[..., None], sel, -1).reshape(B, -1)
-        rec = (lengths_before[:, None] + T - recent
-               + jnp.arange(recent, dtype=jnp.int32)[None, :])
+        rec0 = jnp.maximum(lengths_before + T - recent, 0)
+        rec = rec0[:, None] + jnp.arange(recent, dtype=jnp.int32)[None, :]
         slot_sel = jnp.concatenate([sel, rec], axis=1)     # [B, Ssel]
         member_ok = slot_sel >= 0
         slot_gather = jnp.clip(slot_sel, 0, S - 1)
-
-        # full packed rows sliced directly from the stacked cache
         HD = ck.shape[3]
+        cap = cluster_slots.shape[3]
 
-        def slice_row(b, s):
-            kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
-            vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
-            return kr[0, 0, 0], vr[0, 0, 0]
+        if clustered_kv is not None:
+            from magicdec_tpu.ops.pallas.page_gather import page_gather
+            cl_k, cl_v = clustered_kv
+            kc, vc = page_gather(cl_k, cl_v, l, top_c, page=cap)
+            kc = kc.reshape(B, -1, HD)
+            vc = vc.reshape(B, -1, HD)
 
-        take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
-        k_sel, v_sel = take(jnp.arange(B), slot_gather)    # [B, Ssel, HD]
+            def rec_slice(b, s0):
+                kr = jax.lax.dynamic_slice(ck, (l, b, s0, 0),
+                                           (1, 1, recent, HD))
+                vr = jax.lax.dynamic_slice(cv, (l, b, s0, 0),
+                                           (1, 1, recent, HD))
+                return kr[0, 0], vr[0, 0]
+
+            kr, vr = jax.vmap(rec_slice)(jnp.arange(B), rec0)
+            k_sel = jnp.concatenate([kc, kr], axis=1)
+            v_sel = jnp.concatenate([vc, vr], axis=1)
+        else:
+            def slice_row(b, s):
+                kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
+                vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
+                return kr[0, 0, 0], vr[0, 0, 0]
+
+            take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
+            k_sel, v_sel = take(jnp.arange(B), slot_gather)
         Ssel = slot_gather.shape[1]
         k_sel = k_sel.reshape(B, Ssel, Hkv, Dh)
         v_sel = v_sel.reshape(B, Ssel, Hkv, Dh)
@@ -122,6 +139,9 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
     counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.float32)
+    from magicdec_tpu.engine.retro import build_clustered_store
+    clustered_kv = (build_clustered_store(cache, cluster_slots, cap)
+                    if jax.default_backend() == "tpu" else None)
 
     def cond(state):
         cache, gen_counts, terminal = state[0], state[3], state[6]
@@ -138,7 +158,8 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
         drafted = []
         for _ in range(gamma):
             impl = squeeze_draft_attn(config, lens, centroids, cluster_slots,
-                                      counts, max_clusters=max_clusters,
+                                      counts, clustered_kv,
+                                      max_clusters=max_clusters,
                                       threshold=threshold, recent=recent)
             logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                              (ck, cv), last_only=True)
