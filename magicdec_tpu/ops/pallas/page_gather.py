@@ -29,14 +29,94 @@ def _kernel(l_ref, pages_ref, k_ref, v_ref, ok_ref, ov_ref):
     ov_ref[0, 0] = v_ref[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("page", "interpret"))
+def _dma_kernel(l_ref, pages_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, sems,
+                *, page: int, wave: int):
+    """Single grid cell: issue direct HBM->HBM block copies for every
+    (b, j) selection, `wave` DMAs in flight at a time (per tensor). Grid-cell
+    overhead made the BlockSpec variant slow when blocks are small and many
+    (retro/squeeze cluster blocks); here the DMA engines run the whole
+    gather with one cell of control."""
+    B, n = pages_ref.shape
+    l = l_ref[0]
+    total = B * n
+
+    def dma_pair(i, slot):
+        b = i // n
+        j = i - b * n
+        p = pages_ref[b, j]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[l, b, pl.ds(p * page, page), :],
+            ok_hbm.at[b, j], sems.at[slot, 0])
+        vd = pltpu.make_async_copy(
+            v_hbm.at[l, b, pl.ds(p * page, page), :],
+            ov_hbm.at[b, j], sems.at[slot, 1])
+        return kd, vd
+
+    n_waves = pl.cdiv(total, wave)
+
+    def wave_body(w, _):
+        def start_one(s, _):
+            i = w * wave + s
+            @pl.when(i < total)
+            def _():
+                kd, vd = dma_pair(i, s)
+                kd.start()
+                vd.start()
+            return 0
+        jax.lax.fori_loop(0, wave, start_one, 0)
+
+        def wait_one(s, _):
+            i = w * wave + s
+            @pl.when(i < total)
+            def _():
+                kd, vd = dma_pair(i, s)
+                kd.wait()
+                vd.wait()
+            return 0
+        jax.lax.fori_loop(0, wave, wait_one, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_waves, wave_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("page", "interpret", "mode"))
 def page_gather(k_cache: jax.Array, v_cache: jax.Array, layer, pages,
-                *, page: int = 128, interpret: bool = False):
+                *, page: int = 128, interpret: bool = False,
+                mode: str = "auto"):
     """k_cache/v_cache [L, B, S, HD] (S a multiple of `page`), layer a traced
     int32 scalar, pages [B, n] int32 page indices. Returns
-    (k_sel, v_sel) [B, n, page, HD] in the cache dtype."""
+    (k_sel, v_sel) [B, n, page, HD] in the cache dtype.
+
+    mode: "grid" = one grid cell per block (BlockSpec index_map gather, best
+    for few large blocks); "dma" = single cell issuing direct HBM->HBM block
+    copies (best for many small blocks); "auto" picks by block size.
+    """
     L, B, S, HD = k_cache.shape
     n = pages.shape[1]
+    if mode == "auto":
+        mode = "grid" if page * HD * k_cache.dtype.itemsize >= 64 * 1024 \
+            else "dma"
+    if mode == "dma" and not interpret:
+        sems = pltpu.SemaphoreType.DMA((16, 2))
+        out = pl.pallas_call(
+            functools.partial(_dma_kernel, page=page, wave=16),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                           pl.BlockSpec(memory_space=pltpu.ANY)),
+                scratch_shapes=[sems],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, n, page, HD), k_cache.dtype),
+                jax.ShapeDtypeStruct((B, n, page, HD), v_cache.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(jnp.asarray(layer, jnp.int32).reshape(1),
+          jnp.asarray(pages, jnp.int32), k_cache, v_cache)
+        return out
 
     def idx(b, j, l_ref, p_ref):
         return (l_ref[0], b, p_ref[b, j], 0)
