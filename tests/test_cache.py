@@ -63,3 +63,55 @@ def test_streaming_compact_noop_below_trigger():
     out = cache_lib.streaming_compact(d, 6, 2, slack_trigger=8)
     assert np.asarray(out.lengths).tolist() == [5]
     assert np.asarray(out.evicted).tolist() == [0]
+
+
+def test_streaming_delta_rotation_matches_remapped_oracle():
+    """First-principles check of the sink-twist scheme at NONZERO delta:
+    streaming_draft_attn (which stores K rotated at true positions, rotates
+    queries at true positions, and twists only the sink keys by -delta) must
+    equal the reference semantics — rope applied to RAW keys/queries at the
+    REMAPPED positions (sink at 0..sink-1, live window contiguous after)."""
+    import jax
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.models.config import ModelArgs
+    from magicdec_tpu.ops import attention as dense
+    from magicdec_tpu.ops.rope import rope
+
+    cfg = ModelArgs(block_size=512, vocab_size=64, n_layer=1, n_head=2,
+                    n_kv_head=1, dim=32)
+    B, size, sink, budget = 1, 8, 2, 6
+    evicted = jnp.array([3], jnp.int32)
+    lengths_before = jnp.array([6], jnp.int32)   # appending 1 -> 7
+    key = jax.random.PRNGKey(0)
+    raw_k = jax.random.normal(key, (B, size, 1, 16))      # raw (unrotated)
+    vvals = jax.random.normal(jax.random.fold_in(key, 1), (B, size, 1, 16))
+    q_raw = jax.random.normal(jax.random.fold_in(key, 2), (B, 1, 2, 16))
+    k_new_raw = raw_k[:, 6:7]                              # appended this step
+    v_new = vvals[:, 6:7]
+
+    # cache as the engine stores it: K rotated at TRUE positions
+    slot = jnp.arange(size)
+    true_pos = jnp.where(slot < sink, slot, evicted[:, None] + slot[None, :])
+    k_store = rope(cfg, raw_k, true_pos)
+    dk = jnp.zeros((1, B, size, 16))
+    dk = dk.at[0, :, :6].set(k_store[:, :6].reshape(B, 6, 16))
+    dv = jnp.zeros((1, B, size, 16))
+    dv = dv.at[0, :, :6].set(vvals[:, :6].reshape(B, 6, 16))
+
+    impl = impls.streaming_draft_attn(cfg, lengths_before, evicted, budget,
+                                      sink)
+    ctx, _ = impl(q_raw, k_new_raw, v_new, (dk, dv), jnp.int32(0))
+
+    # oracle: raw K/q rotated at REMAPPED positions
+    # lengths_after=7, start=max(sink, 7-(budget-sink))=3, valid={0,1,3..6}
+    start = 3
+    remap = jnp.where(slot < sink, slot, sink + slot - start)
+    k_remap = rope(cfg, raw_k, jnp.broadcast_to(remap[None], (B, size)))
+    q_pos = jnp.array([[sink + 6 - start]])                # query slot 6 -> 5
+    q_rot = rope(cfg, q_raw, q_pos)
+    valid = jnp.array([[True, True, False, True, True, True, True, False]])
+    ctx_oracle = dense.masked_attention_general(
+        q_rot, k_remap, vvals, valid[:, None, :])
+    np.testing.assert_allclose(np.asarray(ctx),
+                               np.asarray(ctx_oracle.reshape(B, 1, -1)),
+                               rtol=2e-5, atol=2e-5)
