@@ -98,7 +98,8 @@ class DraftKVCache:
 
 
 def append_at_layer(cache: jax.Array, new: jax.Array, lengths: jax.Array,
-                    l: jax.Array) -> jax.Array:
+                    l: jax.Array, write_mask: jax.Array | None = None
+                    ) -> jax.Array:
     """Scatter new K or V [B, T, H, D] (or packed [B, T, H*D]) into the FULL
     stacked cache [L, B, S, H*D] at (l, b, lengths[b]+t).
 
@@ -106,6 +107,13 @@ def append_at_layer(cache: jax.Array, new: jax.Array, lengths: jax.Array,
     cache and XLA performs this scatter in place — threading per-layer slices
     through scan as xs/ys instead would rewrite the whole cache every step
     (measured ~10x decode slowdown at 16 layers x 8k context).
+
+    write_mask [B, T] bool (optional): rows with False are dropped (their
+    slot keeps its existing contents). Used by the speculative re-feed paths:
+    XLA's matmul tilings differ between prefill (T=128) and decode (T<=8)
+    shapes, so re-computed K/V may differ in low bits from the prefill-written
+    values — a masked append preserves the original bits unless the slot is
+    genuinely stale (see spec.streaming_round).
     """
     B, T = new.shape[:2]
     if new.ndim == 4:
@@ -113,7 +121,10 @@ def append_at_layer(cache: jax.Array, new: jax.Array, lengths: jax.Array,
     new = new.astype(cache.dtype)
     b_idx = jnp.arange(B)[:, None]
     s_idx = lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    return cache.at[l, b_idx, s_idx].set(new)
+    if write_mask is not None:
+        # out-of-bounds indices are dropped -> masked rows keep old contents
+        s_idx = jnp.where(write_mask, s_idx, cache.shape[2])
+    return cache.at[l, b_idx, s_idx].set(new, mode="drop")
 
 
 def append_layer_kv(cache_k_l: jax.Array, cache_v_l: jax.Array,

@@ -17,18 +17,30 @@ Kernel selection: flash-decode on TPU for decode/verify-sized queries, dense
 XLA otherwise (CPU tests, prefill chunks, the small budget-bounded draft
 caches where a layer copy is cheap). Override per-factory via `attend=` or
 globally via set_attend_mode("dense"|"flash"|"auto").
+
+Multi-device: pallas_call does not auto-partition under GSPMD, so every
+factory takes a `mesh`; when it spans >1 device the kernel call is wrapped in
+jax.shard_map over (dp: batch, tp: heads) — attention is per-KV-head, so a tp
+shard computes its heads' output with ZERO collectives (the reference instead
+runs flashinfer per rank under NCCL TP, Engine/tp.py:202-207). Off-TPU the
+kernels run in interpret mode, which lets the CPU test mesh exercise the
+exact sharded-flash program the TPU runs.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from magicdec_tpu import cache as cache_lib
 from magicdec_tpu.models.config import ModelArgs
 from magicdec_tpu.ops import attention as dense
 from magicdec_tpu.ops import snapkv as snapkv_ops
-from magicdec_tpu.ops.pallas.flash_decode import flash_decode_stacked
+from magicdec_tpu.ops.pallas.flash_decode import (flash_decode_intervals,
+                                                  flash_decode_stacked)
 from magicdec_tpu.ops.rope import rope, rope_cos_sin, apply_rope
 
 _ATTEND_MODE = "auto"  # "auto" | "dense" | "flash"
@@ -41,6 +53,38 @@ def set_attend_mode(mode: str):
     global _ATTEND_MODE
     assert mode in ("auto", "dense", "flash"), mode
     _ATTEND_MODE = mode
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _flash_stacked(q, ck, cv, l, valid, mesh):
+    """flash_decode_stacked, shard_mapped when the mesh spans >1 device."""
+    if mesh is None or mesh.devices.size == 1:
+        return flash_decode_stacked(q, ck, cv, l, valid, interpret=_interp())
+    fn = jax.shard_map(
+        functools.partial(flash_decode_stacked, interpret=_interp()),
+        mesh=mesh,
+        in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
+                  P(None, "dp", None, "tp"), P(), P("dp", None)),
+        out_specs=P("dp", None, "tp", None), check_vma=False)
+    return fn(q, ck, cv, l, valid)
+
+
+def _flash_intervals(q, k, v, sink_end, lo, hi, mesh):
+    """flash_decode_intervals (flat [B,S,HD] k/v), shard_mapped when needed."""
+    if mesh is None or mesh.devices.size == 1:
+        return flash_decode_intervals(q, k, v, sink_end, lo, hi,
+                                      interpret=_interp())
+    fn = jax.shard_map(
+        functools.partial(flash_decode_intervals, interpret=_interp()),
+        mesh=mesh,
+        in_specs=(P("dp", None, "tp", None), P("dp", None, "tp"),
+                  P("dp", None, "tp"), P("dp", None), P("dp", None),
+                  P("dp", None)),
+        out_specs=P("dp", None, "tp", None), check_vma=False)
+    return fn(q, k, v, sink_end, lo, hi)
 
 
 def _flat(ctx: jax.Array) -> jax.Array:
@@ -66,7 +110,7 @@ def _use_flash(config: ModelArgs, T: int) -> bool:
 
 
 def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
-                    cap: int | None = None):
+                    cap: int | None = None, mesh=None):
     """Ragged prefix attention against stacked caches, kernel-dispatched.
 
     `cap` bounds the attended slots on the DENSE path only (the flash kernel
@@ -78,7 +122,7 @@ def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
             k_l, v_l = k_l[:, :cap], v_l[:, :cap]
         return attend(q, _unpack(k_l, config), _unpack(v_l, config), valid)
     if _use_flash(config, q.shape[1]):
-        return flash_decode_stacked(q, ck, cv, l, valid)
+        return _flash_stacked(q, ck, cv, l, valid, mesh)
     k_l, v_l = ck[l], cv[l]
     if cap is not None and cap < k_l.shape[1]:
         k_l, v_l = k_l[:, :cap], v_l[:, :cap]
@@ -87,7 +131,7 @@ def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
 
 
 def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None,
-                cap: int | None = None):
+                cap: int | None = None, mesh=None, write_mask=None):
     """Decode/verify/prefill against the target cache.
 
     caches = (ck, cv) stacked [L, B, S, Hkv*D]. Queries sit at absolute
@@ -106,17 +150,19 @@ def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None,
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l, write_mask)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l, write_mask)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend, cap=cap)
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend, cap=cap,
+                              mesh=mesh)
         return _flat(ctx), (ck, cv)
 
     return impl
 
 
 def verify_dual_attn(config: ModelArgs, lengths_before: jax.Array,
-                     draft_lengths_before: jax.Array, attend=None):
+                     draft_lengths_before: jax.Array, attend=None,
+                     mesh=None):
     """SnapKV verify: full-cache target attention that ALSO appends the rotated
     k/v into the draft cache (Engine/SnapKV/model.py:340-355 Attention.verify),
     keeping the compressed cache in sync; acceptance then rewinds lengths only.
@@ -134,14 +180,16 @@ def verify_dual_attn(config: ModelArgs, lengths_before: jax.Array,
         dk = cache_lib.append_at_layer(dk, k, draft_lengths_before, l)
         dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
-        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend)
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend,
+                              mesh=mesh)
         return _flat(ctx), (ck, cv, dk, dv)
 
     return impl
 
 
 def snapkv_draft_attn(config: ModelArgs, target_positions_base: jax.Array,
-                      draft_lengths_before: jax.Array, attend=None):
+                      draft_lengths_before: jax.Array, attend=None,
+                      mesh=None, write_mask=None):
     """Draft decode against a SnapKV-compressed cache.
 
     Keys in the draft cache are rotated at their ORIGINAL absolute positions,
@@ -155,10 +203,13 @@ def snapkv_draft_attn(config: ModelArgs, target_positions_base: jax.Array,
         positions = target_positions_base[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        dk = cache_lib.append_at_layer(dk, k, draft_lengths_before, l)
-        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
+        dk = cache_lib.append_at_layer(dk, k, draft_lengths_before, l,
+                                       write_mask)
+        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l,
+                                       write_mask)
         valid = dense.decode_valid_upto(draft_lengths_before, T)
-        ctx = _attend_stacked(config, q, dk, dv, l, valid, attend)
+        ctx = _attend_stacked(config, q, dk, dv, l, valid, attend,
+                              mesh=mesh)
         return _flat(ctx), (dk, dv)
 
     return impl
@@ -166,7 +217,7 @@ def snapkv_draft_attn(config: ModelArgs, target_positions_base: jax.Array,
 
 def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
                          evicted: jax.Array, budget: int, sink: int,
-                         attend=None):
+                         attend=None, mesh=None, write_mask=None):
     """Draft decode against a StreamingLLM sink+window cache.
 
     The reference stores K UNROTATED and re-applies rope at read under
@@ -203,8 +254,9 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
         k_true_pos = evicted[:, None] + q_slot
         # append K ROTATED at its true absolute position (target-identical)
         dk = cache_lib.append_at_layer(dk, rope(config, k, k_true_pos),
-                                       draft_lengths_before, l)
-        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l)
+                                       draft_lengths_before, l, write_mask)
+        dv = cache_lib.append_at_layer(dv, v, draft_lengths_before, l,
+                                       write_mask)
         lengths_after = draft_lengths_before + T
         start = jnp.maximum(sink, lengths_after - (budget - sink))   # [B]
         delta = sink - start - evicted                               # [B] <= 0
@@ -218,12 +270,10 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
         # valid = sink slots + live window, causal up to own slot:
         # [0, min(sink, q_slot+1)) ∪ [start, q_slot+1)
         if attend is None and _use_flash(config, T):
-            from magicdec_tpu.ops.pallas.flash_decode import \
-                flash_decode_intervals
             hi = q_slot + 1
-            ctx = flash_decode_intervals(
+            ctx = _flash_intervals(
                 q, k_read, dv[l], jnp.minimum(sink, hi),
-                jnp.broadcast_to(start[:, None], hi.shape), hi)
+                jnp.broadcast_to(start[:, None], hi.shape), hi, mesh)
         else:
             att = attend or dense.masked_attention_general
             slot = jnp.arange(size, dtype=jnp.int32)
@@ -238,7 +288,7 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
 
 def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
                         context_len: int, budget: int, window: int,
-                        attend=None, cap: int | None = None):
+                        attend=None, cap: int | None = None, mesh=None):
     """Last prefill chunk: target prefill attention + SnapKV draft-cache build
     (reference: Attention.prefill is_last=True -> gen_draft_kv,
     Engine/SnapKV/model.py:383-445).

@@ -38,11 +38,13 @@ from magicdec_tpu.models.config import ModelArgs
 # Pure step functions (jitted per static config)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("config", "last_only", "cap"),
+@functools.partial(jax.jit,
+                   static_argnames=("config", "last_only", "cap", "mesh"),
                    donate_argnames=("cache",))
 def prefill_chunk_step(params, config: ModelArgs, cache: KVCache, tokens,
-                       last_only: bool = True, cap: int | None = None):
-    impl = impls.target_attn(config, cache.lengths, cap=cap)
+                       last_only: bool = True, cap: int | None = None,
+                       mesh=None):
+    impl = impls.target_attn(config, cache.lengths, cap=cap, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, tokens, impl,
                                      (cache.k, cache.v), last_only=last_only)
     new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
@@ -60,15 +62,18 @@ def _pow2_cap(frontier: int, max_len: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "context_len", "budget", "window"),
+                   static_argnames=("config", "context_len", "budget",
+                                    "window", "mesh"),
                    donate_argnames=("cache", "draft"))
 def prefill_last_chunk_snapkv_step(params, config: ModelArgs, cache: KVCache,
                                    draft: DraftKVCache, tokens,
-                                   context_len: int, budget: int, window: int):
+                                   context_len: int, budget: int, window: int,
+                                   mesh=None):
     """Final prefill chunk + SnapKV draft-cache construction."""
     impl = impls.prefill_snapkv_attn(config, cache.lengths, context_len,
                                      budget, window,
-                                     cap=_pow2_cap(context_len, cache.max_len))
+                                     cap=_pow2_cap(context_len, cache.max_len),
+                                     mesh=mesh)
     logits, (ck, cv, dk, dv) = llama.forward(
         params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v),
         last_only=True)
@@ -110,25 +115,27 @@ def build_streaming_draft_step(config: ModelArgs, cache: KVCache,
     return DraftKVCache(dk, dv, keep, jnp.maximum(cache.lengths - keep, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("config",),
+@functools.partial(jax.jit, static_argnames=("config", "mesh"),
                    donate_argnames=("cache",))
-def target_decode_step(params, config: ModelArgs, cache: KVCache, tokens):
+def target_decode_step(params, config: ModelArgs, cache: KVCache, tokens,
+                       mesh=None):
     """Decode/verify WITHOUT draft writes (baseline + StreamingLLM verify)."""
-    impl = impls.target_attn(config, cache.lengths)
+    impl = impls.target_attn(config, cache.lengths, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, tokens, impl,
                                      (cache.k, cache.v))
     new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
     return argmax_tokens(logits), new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("config",),
+@functools.partial(jax.jit, static_argnames=("config", "mesh"),
                    donate_argnames=("cache", "draft"))
 def verify_dual_step(params, config: ModelArgs, cache: KVCache,
-                     draft: DraftKVCache, tokens):
+                     draft: DraftKVCache, tokens, mesh=None):
     """SnapKV verify: target attention, k/v appended to BOTH caches at the
     round-start draft offset (overwrite of spec-written entries — reference
     pre_verify/Attention.verify semantics, Engine/SnapKV/backend.py:182-199)."""
-    impl = impls.verify_dual_attn(config, cache.lengths, draft.lengths)
+    impl = impls.verify_dual_attn(config, cache.lengths, draft.lengths,
+                                  mesh=mesh)
     logits, (ck, cv, dk, dv) = llama.forward(
         params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v))
     T = tokens.shape[1]
@@ -137,12 +144,13 @@ def verify_dual_step(params, config: ModelArgs, cache: KVCache,
     return argmax_tokens(logits), new_cache, new_draft
 
 
-@functools.partial(jax.jit, static_argnames=("config",),
+@functools.partial(jax.jit, static_argnames=("config", "mesh"),
                    donate_argnames=("draft",))
 def draft_decode_snapkv_step(params, config: ModelArgs, draft: DraftKVCache,
-                             tokens, position_base):
+                             tokens, position_base, mesh=None):
     """One SnapKV draft step; queries rotate at true absolute positions."""
-    impl = impls.snapkv_draft_attn(config, position_base, draft.lengths)
+    impl = impls.snapkv_draft_attn(config, position_base, draft.lengths,
+                                   mesh=mesh)
     logits, (dk, dv) = llama.forward(params, config, tokens, impl,
                                      (draft.k, draft.v))
     new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
@@ -150,13 +158,14 @@ def draft_decode_snapkv_step(params, config: ModelArgs, draft: DraftKVCache,
     return argmax_tokens(logits), new_draft
 
 
-@functools.partial(jax.jit, static_argnames=("config", "budget", "sink"),
+@functools.partial(jax.jit,
+                   static_argnames=("config", "budget", "sink", "mesh"),
                    donate_argnames=("draft",))
 def draft_decode_streaming_step(params, config: ModelArgs, draft: DraftKVCache,
-                                tokens, budget: int, sink: int):
+                                tokens, budget: int, sink: int, mesh=None):
     """One StreamingLLM draft step (original-position K store, delta-rope read)."""
     impl = impls.streaming_draft_attn(config, draft.lengths, draft.evicted,
-                                      budget, sink)
+                                      budget, sink, mesh=mesh)
     logits, (dk, dv) = llama.forward(params, config, tokens, impl,
                                      (draft.k, draft.v))
     new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
@@ -207,14 +216,9 @@ class Engine:
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as shard_lib
             self.params = shard_lib.shard_params(params, mesh, config)
-            if mesh.devices.size > 1 and jax.default_backend() == "tpu":
-                # pallas_call does not auto-partition under GSPMD; until the
-                # flash kernel is shard_map-wrapped, multi-device TPU engines
-                # run the dense XLA attention (which partitions fine). This is
-                # a process-wide switch — correct, since kernels can't
-                # partition for ANY engine once a >1-chip mesh is in play.
-                from magicdec_tpu.engine import attention_impls as _impls
-                _impls.set_attend_mode("dense")
+            # the flash kernels run under jax.shard_map on >1-device meshes
+            # (attention is per-KV-head: a dpxtp shard needs no collectives)
+            # — see attention_impls._flash_stacked/_flash_intervals.
         self._create_cache()
         self.draft: Optional[DraftKVCache] = None
         # quest/retro/squeeze draft straight out of the target cache
@@ -275,11 +279,12 @@ class Engine:
                 next_tok, self.cache, self.draft = prefill_last_chunk_snapkv_step(
                     self.params, self.config, self.cache, self.draft, tok,
                     context_len=P, budget=self.draft_budget,
-                    window=self.window_size)
+                    window=self.window_size, mesh=self.mesh)
             else:
                 cap = _pow2_cap((i + 1) * chunk, self.max_len)
                 next_tok, self.cache = prefill_chunk_step(
-                    self.params, self.config, self.cache, tok, cap=cap)
+                    self.params, self.config, self.cache, tok, cap=cap,
+                    mesh=self.mesh)
         if self.spec == "streaming":
             self.draft = build_streaming_draft_step(
                 self.config, self.cache, self.draft,
@@ -294,14 +299,15 @@ class Engine:
 
     def inference(self, tokens) -> jax.Array:
         out, self.cache = target_decode_step(self.params, self.config,
-                                             self.cache, self._tokens(tokens))
+                                             self.cache, self._tokens(tokens),
+                                             mesh=self.mesh)
         return out
 
     def verify(self, tokens) -> jax.Array:
         if self.spec == "snapkv":
             out, self.cache, self.draft = verify_dual_step(
                 self.params, self.config, self.cache, self.draft,
-                self._tokens(tokens))
+                self._tokens(tokens), mesh=self.mesh)
             return out
         return self.inference(tokens)
 
@@ -313,11 +319,12 @@ class Engine:
             offset = self.draft.lengths - self._draft_round_start_lengths
             out, self.draft = draft_decode_snapkv_step(
                 self.params, self.config, self.draft, tokens,
-                self.cache.lengths + offset)
+                self.cache.lengths + offset, mesh=self.mesh)
         else:
             out, self.draft = draft_decode_streaming_step(
                 self.params, self.config, self.draft, tokens,
-                budget=self.draft_budget, sink=self.sink_size)
+                budget=self.draft_budget, sink=self.sink_size,
+                mesh=self.mesh)
         return out
 
     def begin_spec_round(self):

@@ -47,12 +47,12 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "max_new_tokens"),
+    jax.jit, static_argnames=("config", "gamma", "max_new_tokens", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
 def glide_generate_fused(params, glide_params, config: ModelArgs,
                          cache: KVCache, own_k, own_v, own_lengths, buffer0,
                          output, gen_counts, eot, gamma: int,
-                         max_new_tokens: int):
+                         max_new_tokens: int, mesh=None):
     """Linear glide SD, whole generation in one while_loop.
 
     own_k/own_v [B, Sd, Hkv*D]: the glide block's self-attention cache
@@ -83,10 +83,17 @@ def glide_generate_fused(params, glide_params, config: ModelArgs,
             tok = argmax_tokens(logits[:, -1:])
             ol = ol + 1
             drafted.append(tok)
+        # one extra forward appends the FINAL drafted token's K/V: accept can
+        # reach gamma+1 and own_len advances by accept, so slot ol0+gamma must
+        # hold drafted[gamma-1], not stale garbage the next round would attend
+        _, ok, ov = glide_lib.glide_forward(
+            glide_params, params, config, tok, lenT0[:, None] + gamma, ok, ov,
+            ol, cache.k[-1], cache.v[-1],
+            jnp.broadcast_to(lenT0[:, None], tok.shape))
         own_k2, own_v2 = ok, ov
         buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
-        impl = impls.target_attn(config, lenT0)
+        impl = impls.target_attn(config, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,
                                          (cache.k, cache.v))
         target_tokens = argmax_tokens(logits)
@@ -196,6 +203,29 @@ def _compact_path(arrays, base, path, keep_len):
     return tuple(per(a) for a in arrays)
 
 
+def _write_leaf_level_kv(params, glide_params, config, tree: SpecTree,
+                         node_tokens, own_k, own_v, own_len, lenT0, cache):
+    """Append the leaf level's K/V to the glide cache (logits discarded).
+
+    The level-by-level draft loop only forwards levels 0..depth-1 (leaves
+    never spawn children), yet a fully-accepted path ends AT a leaf and
+    _compact_path moves that slot into the live prefix — without this write
+    the next round's draft would attend a never-written slot."""
+    B = node_tokens.shape[0]
+    d = len(tree.branching)
+    lvl = tree.levels[d]
+    toks = node_tokens[:, jnp.asarray(lvl)]
+    Sd = own_k.shape[1]
+    mask = _tree_mask(jnp.asarray(tree.ancestor[lvl]), own_len, tree.n_nodes,
+                      Sd)
+    _, own_k, own_v = glide_lib.glide_forward(
+        glide_params, params, config, toks,
+        jnp.broadcast_to(lenT0[:, None] + d, toks.shape), own_k, own_v,
+        own_len + int(lvl[0]), cache.k[-1], cache.v[-1],
+        jnp.broadcast_to(lenT0[:, None], toks.shape), attn_mask=mask)
+    return own_k, own_v
+
+
 def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
                      cache: KVCache, own_k, own_v, own_len, root_tok, eot):
     """One greedy tree-speculation round. Returns (cache, own_k, own_v,
@@ -227,6 +257,9 @@ def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
         top = jax.lax.top_k(logits, b)[1].astype(jnp.int32)  # [B, n_lvl, b]
         child_ids = jnp.asarray(tree.levels[d + 1]).reshape(n_lvl, b)
         node_tokens = node_tokens.at[:, child_ids].set(top)
+    own_k, own_v = _write_leaf_level_kv(params, glide_params, config, tree,
+                                        node_tokens, own_k, own_v, own_len,
+                                        lenT0, cache)
 
     # ---- verify all nodes in one target forward ----------------------------
     S = cache.k.shape[2]
@@ -381,6 +414,9 @@ def glide_tree_round_stochastic(params, glide_params, config: ModelArgs,
         draws = jax.random.categorical(sub, logits[:, :, None, :].repeat(b, 2))
         child_ids = jnp.asarray(tree.levels[d + 1]).reshape(n_lvl, b)
         node_tokens = node_tokens.at[:, child_ids].set(draws.astype(jnp.int32))
+    own_k, own_v = _write_leaf_level_kv(params, glide_params, config, tree,
+                                        node_tokens, own_k, own_v, own_len,
+                                        lenT0, cache)
 
     S = cache.k.shape[2]
     positions = lenT0[:, None] + depth_arr[None, :]
@@ -460,7 +496,8 @@ class GlideEngine:
              gen_counts, rounds, accepted) = glide_generate_fused(
                 self.target.params, self.glide_params, self.target.config,
                 self.target.cache, self.own_k, self.own_v, self.own_len,
-                buffer0, output, gen_counts, eot, gamma, max_new_tokens)
+                buffer0, output, gen_counts, eot, gamma, max_new_tokens,
+                mesh=self.target.mesh)
             stats.total_drafted = int(rounds) * B * gamma
         else:
             # host-driven tree rounds (each round is one jitted program)

@@ -37,17 +37,21 @@ from magicdec_tpu.engine.spec import SpecStats, _accept_and_update, _eot_array
 from magicdec_tpu.models import llama
 
 
-def _draft_step_fn(dconfig, mode: str, budget: int, sink: int):
+def _draft_step_fn(dconfig, mode: str, budget: int, sink: int, mesh=None):
     """One draft decode step reading/writing the draft's own cache pytree."""
-    def step(dparams, dcache, tokens, target_len):
+    def step(dparams, dcache, tokens, target_len, write_mask=None):
         if mode == "full":
-            impl = impls.target_attn(dconfig, dcache.lengths)
+            impl = impls.target_attn(dconfig, dcache.lengths, mesh=mesh,
+                                     write_mask=write_mask)
         elif mode == "snapkv":
             # fresh tokens rotate at their true absolute positions
-            impl = impls.snapkv_draft_attn(dconfig, target_len, dcache.lengths)
+            impl = impls.snapkv_draft_attn(dconfig, target_len, dcache.lengths,
+                                           mesh=mesh, write_mask=write_mask)
         else:
             impl = impls.streaming_draft_attn(dconfig, dcache.lengths,
-                                              dcache.evicted, budget, sink)
+                                              dcache.evicted, budget, sink,
+                                              mesh=mesh,
+                                              write_mask=write_mask)
         logits, (dk, dv) = llama.forward(dparams, dconfig, tokens, impl,
                                          (dcache.k, dcache.v), last_only=True)
         T = tokens.shape[1]
@@ -62,32 +66,39 @@ def _draft_step_fn(dconfig, mode: str, budget: int, sink: int):
 @functools.partial(
     jax.jit,
     static_argnames=("tconfig", "dconfig", "gamma", "max_new_tokens", "mode",
-                     "budget", "sink"),
+                     "budget", "sink", "mesh"),
     donate_argnames=("tcache", "dcache", "output", "gen_counts"))
 def longspec_generate_fused(tparams, tconfig, dparams, dconfig,
                             tcache: KVCache, dcache, buffer0, last_acc,
                             output, gen_counts, eot, gamma: int,
                             max_new_tokens: int, mode: str, budget: int,
-                            sink: int):
+                            sink: int, mesh=None):
     """Full two-model generation as one on-device while_loop.
 
     Invariant at round entry: dcache.lengths is the slot of `last_acc` (the
     newest accepted token, re-fed with the round's first input so its draft
     K/V is always fresh — subsumes the reference's double-advance).
     """
-    step = _draft_step_fn(dconfig, mode, budget, sink)
+    step = _draft_step_fn(dconfig, mode, budget, sink, mesh=mesh)
     max_len = tcache.k.shape[2]
 
     def round_body(state):
-        (tcache, dcache, buffer0, last_acc, output, gen_counts, rounds,
+        (tcache, dcache, buffer0, last_acc, stale, output, gen_counts, rounds,
          accepted, terminal) = state
         lenT0, lenD0 = tcache.lengths, dcache.lengths
+        B = buffer0.shape[0]
 
         # -- draft: dec_len-2 first step, then gamma-1 single steps (unrolled;
-        # a lax.scan would copy the draft cache across the scan boundary) ----
+        # a lax.scan would copy the draft cache across the scan boundary).
+        # The re-feed writes last_acc's slot ONLY when stale (fully-accepted
+        # previous round): XLA numerics differ between prefill and decode
+        # shapes, so overwriting a prefill-written slot with re-computed K/V
+        # would break the self-draft bit-exactness (see spec.streaming_round).
+        mask0 = jnp.concatenate([stale[:, None], jnp.ones((B, 1), bool)],
+                                axis=1)
         dcache2, nxt = step(dparams, dcache,
                             jnp.concatenate([last_acc, buffer0], axis=1),
-                            lenT0 - 1)
+                            lenT0 - 1, write_mask=mask0)
         drafted = [nxt]
         tlen = lenT0 + 1
         for _ in range(gamma - 1):
@@ -98,7 +109,7 @@ def longspec_generate_fused(tparams, tconfig, dparams, dconfig,
 
         # -- target verify (plain decode over gamma+1 tokens,
         #    longspec_benchmark.py:198) ---------------------------------------
-        impl = impls.target_attn(tconfig, lenT0)
+        impl = impls.target_attn(tconfig, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(tparams, tconfig, buffer, impl,
                                          (tcache.k, tcache.v))
         target_tokens = argmax_tokens(logits)
@@ -114,21 +125,23 @@ def longspec_generate_fused(tparams, tconfig, dparams, dconfig,
                       DraftKVCache(dcache2.k, dcache2.v, lenD0 + accept,
                                    dcache2.evicted))
         new_last_acc = jnp.take_along_axis(buffer, accept[:, None] - 1, axis=1)
-        return (new_tcache, new_dcache, bonus, new_last_acc, output,
+        new_stale = accept == gamma + 1      # final drafted token never appended
+        return (new_tcache, new_dcache, bonus, new_last_acc, new_stale, output,
                 gen_counts, rounds + 1, accepted + acc, terminal | term)
 
     def cond(state):
         tcache = state[0]
-        gen_counts, rounds, accepted, terminal = state[5:9]
+        gen_counts, rounds, accepted, terminal = state[6:10]
         return (~terminal
                 & (jnp.min(gen_counts) < max_new_tokens)
                 & (jnp.max(tcache.lengths) + gamma + 1 <= max_len))
 
-    state = (tcache, dcache, buffer0, last_acc, output, gen_counts,
+    state = (tcache, dcache, buffer0, last_acc,
+             jnp.zeros((buffer0.shape[0],), bool), output, gen_counts,
              jnp.int32(0), jnp.int32(0), jnp.bool_(False))
     state = jax.lax.while_loop(cond, round_body, state)
-    (tcache, dcache, buffer0, last_acc, output, gen_counts, rounds, accepted,
-     terminal) = state
+    (tcache, dcache, buffer0, last_acc, stale, output, gen_counts, rounds,
+     accepted, terminal) = state
     B, cap = output.shape
     idx = jnp.minimum(gen_counts, cap - 1)
     output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
@@ -182,7 +195,8 @@ class LongSpecEngine:
             self.target.params, self.target.config, self.draft.params,
             self.draft.config, self.target.cache, dcache, buffer0, last_acc,
             output, gen_counts, eot, gamma, max_new_tokens, self.mode,
-            self.draft.draft_budget, self.draft.sink_size)
+            self.draft.draft_budget, self.draft.sink_size,
+            mesh=self.target.mesh)
         jax.block_until_ready(output)
         stats.wall_time_s = time.perf_counter() - t0
         if self.mode == "full":

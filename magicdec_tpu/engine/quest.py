@@ -7,7 +7,7 @@ tests/selfspec_benchmark_common.py:14,166-167,262-265 — load_draft_model(
 draft_budget, chunk_size, bsz, max_len, latest_k), speculate(tok, bsz, gamma),
 verify, draft_kv_update(accepted)).
 
-Method: the target cache is viewed as pages of `page` slots;每 page and KV
+Method: the target cache is viewed as pages of `page` slots; each page and KV
 head keeps elementwise min/max key boxes. A draft step scores every page with
 the upper bound sum_d max(q_d*kmin_d, q_d*kmax_d) (summed over the GQA group),
 always includes the most recent `latest_k` slots' pages, attends only to the
@@ -60,7 +60,7 @@ def make_page_meta(cache: KVCache, page: int = 128):
 
 def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                      kmin, kmax, *, n_pages: int, latest_pages: int,
-                     page: int = 128):
+                     page: int = 128, mesh=None):
     """attn_impl for one Quest draft step (T small).
 
     caches = (ck, cv); kmin/kmax are the stacked [L, B, P, Hkv*D] boxes
@@ -100,17 +100,26 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         recent_lo = jnp.maximum(last_page - (latest_pages - 1), 0)
         pid = jnp.arange(P, dtype=jnp.int32)
         scores = jnp.where(pid[None, :] < recent_lo[:, None], scores, NEG_INF)
-        _, top_pages = jax.lax.top_k(scores, n_pages)            # [B, n]
+        top_scores, top_pages = jax.lax.top_k(scores, n_pages)   # [B, n]
+        # when n_pages exceeds the scoreable pages (early generation, or
+        # budget > context) top_k ties on NEG_INF and returns masked indices
+        # that duplicate the forced recent pages — mark those slots invalid
+        # so they can't double-count keys in the draft softmax
+        top_ok = top_scores > NEG_INF / 2                        # [B, n]
         recent = recent_lo[:, None] + jnp.arange(latest_pages, dtype=jnp.int32)[None, :]
         pages = jnp.concatenate([top_pages, recent], axis=1)     # [B, n+r]
+        page_ok = jnp.concatenate(
+            [top_ok, jnp.ones(recent.shape, bool)], axis=1)      # [B, n+r]
 
         # ---- gather the pages as contiguous [page, Hkv*D] blocks ------------
         # On TPU a scalar-prefetched Pallas DMA gather (the reference's
         # gather_copy.cu counterpart); XLA's block gather measured ~60 GB/s
         # and gets re-executed when fused into both attention matmuls.
         if jax.default_backend() == "tpu":
-            from magicdec_tpu.ops.pallas.page_gather import page_gather
-            k_sel, v_sel = page_gather(ck, cv, l, pages, page=page)
+            from magicdec_tpu.ops.pallas.page_gather import \
+                page_gather_sharded
+            k_sel, v_sel = page_gather_sharded(ck, cv, l, pages, page=page,
+                                               mesh=mesh)
         else:
             HD = ck.shape[3]
 
@@ -131,7 +140,10 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
 
         # ---- dense attention over the selected slots -----------------------
         upto = dense.decode_valid_upto(lengths_before, T)        # [B, T]
-        mask = slot_sel[:, None, :] < upto[:, :, None]          # [B, T, Ssel]
+        slot_ok = jnp.broadcast_to(page_ok[:, :, None],
+                                   (B, n_sel, page)).reshape(B, -1)
+        mask = ((slot_sel[:, None, :] < upto[:, :, None])
+                & slot_ok[:, None, :])                          # [B, T, Ssel]
         ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
         return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
 
@@ -139,11 +151,12 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "budget", "latest_k", "page"),
+    jax.jit, static_argnames=("config", "gamma", "budget", "latest_k",
+                              "page", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
 def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
                 buffer0, output, gen_counts, eot, gamma: int, budget: int,
-                latest_k: int, page: int = 128):
+                latest_k: int, page: int = 128, mesh=None):
     """One Quest self-speculation round: gamma sparse-page draft steps +
     full-attention verify; spec K/V live in (and are overwritten in) the
     target cache, so rollback is the usual length rewind."""
@@ -159,7 +172,8 @@ def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
     drafted = []
     for _ in range(gamma):
         impl = quest_draft_attn(config, lens, kmin, kmax, n_pages=n_pages,
-                                latest_pages=latest_pages, page=page)
+                                latest_pages=latest_pages, page=page,
+                                mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
                                          last_only=True)
         tok = argmax_tokens(logits)
@@ -168,7 +182,7 @@ def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
     buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
     # verify with full attention, overwriting the draft-written slots
-    impl = impls.target_attn(config, lenT0)
+    impl = impls.target_attn(config, lenT0, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, buffer, impl, (ck, cv))
     target_tokens = argmax_tokens(logits)
 
@@ -210,12 +224,12 @@ def update_page_meta(cache: KVCache, kmin, kmax, span_start, span: int,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "gamma", "max_new_tokens", "budget",
-                     "latest_k", "page"),
+                     "latest_k", "page", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
 def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          output, gen_counts, eot, gamma: int,
                          max_new_tokens: int, budget: int, latest_k: int,
-                         page: int = 128):
+                         page: int = 128, mesh=None):
     """Full Quest self-spec generation as one on-device while_loop: rounds of
     quest_round + incremental page-metadata refresh of the touched window."""
     max_len = cache.k.shape[2]
@@ -234,7 +248,7 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
         lenT0 = cache.lengths
         cache, buffer0, output, gen_counts, info = quest_round(
             params, config, cache, kmin, kmax, buffer0, output, gen_counts,
-            eot, gamma, budget, latest_k, page)
+            eot, gamma, budget, latest_k, page, mesh=mesh)
         kmin, kmax = update_page_meta(cache, kmin, kmax, lenT0, gamma + 1,
                                       page)
         return (cache, kmin, kmax, buffer0, output, gen_counts, rounds + 1,

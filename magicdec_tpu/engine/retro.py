@@ -100,7 +100,7 @@ def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
 
 def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                      centroids, cluster_slots, clustered_kv=None, *,
-                     nprobe: int, recent: int):
+                     nprobe: int, recent: int, mesh=None):
     """attn_impl for one RetroInfer-style draft step.
 
     caches = (ck, cv); centroids [L,B,C,Hkv*D], cluster_slots [L,B,C,cap]
@@ -127,12 +127,12 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         # ---- centroid scores (reference: batch_gemm_softmax over centroids;
         # here the fused Pallas kernel on TPU, XLA elsewhere); per-head
         # scores summed over heads to rank the shared clusters
-        from magicdec_tpu.ops.pallas.gemm_softmax import (centroid_scores,
-                                                          centroid_scores_xla)
+        from magicdec_tpu.ops.pallas.gemm_softmax import (
+            centroid_scores_sharded, centroid_scores_xla)
         C = centroids.shape[2]
         cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
         if jax.default_backend() == "tpu":
-            scores = centroid_scores(q, cent)              # [B,Hkv,C]
+            scores = centroid_scores_sharded(q, cent, mesh=mesh)  # [B,Hkv,C]
         else:
             scores = centroid_scores_xla(q, cent)
         scores = jnp.sum(scores, axis=1)                   # [B, C]
@@ -158,9 +158,11 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         if clustered_kv is not None:
             # cluster blocks from the cluster-major store (Pallas DMA) + the
             # recent window as one contiguous dynamic_slice from the cache
-            from magicdec_tpu.ops.pallas.page_gather import page_gather
+            from magicdec_tpu.ops.pallas.page_gather import \
+                page_gather_sharded
             cl_k, cl_v = clustered_kv                      # [L,B,C*cap,HD]
-            kc, vc = page_gather(cl_k, cl_v, l, top_c, page=cap)
+            kc, vc = page_gather_sharded(cl_k, cl_v, l, top_c, page=cap,
+                                         mesh=mesh)
             kc = kc.reshape(B, -1, HD)
             vc = vc.reshape(B, -1, HD)
 
@@ -200,12 +202,12 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
-                     "nprobe", "recent"),
+                     "nprobe", "recent", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
 def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          output, gen_counts, eot, gamma: int,
                          max_new_tokens: int, n_clusters: int, cap: int,
-                         nprobe: int, recent: int):
+                         nprobe: int, recent: int, mesh=None):
     """Full RetroInfer-style self-spec generation in one while_loop. The
     cluster index is built once from the prefill cache; freshly generated
     tokens are covered by the forced recent window (the reference similarly
@@ -235,7 +237,7 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
         for _ in range(gamma):
             impl = retro_draft_attn(config, lens, centroids, cluster_slots,
                                     clustered_kv, nprobe=nprobe,
-                                    recent=recent)
+                                    recent=recent, mesh=mesh)
             logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                              (ck, cv), last_only=True)
             tok = argmax_tokens(logits)
@@ -243,7 +245,7 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
             drafted.append(tok)
         buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
-        impl = impls.target_attn(config, lenT0)
+        impl = impls.target_attn(config, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,
                                          (ck, cv))
         target_tokens = argmax_tokens(logits)

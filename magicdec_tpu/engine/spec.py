@@ -59,10 +59,10 @@ def _accept_and_update(buffer, target_tokens, eot, gamma,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma"),
+    jax.jit, static_argnames=("config", "gamma", "mesh"),
     donate_argnames=("cache", "draft", "output", "gen_counts"))
 def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
-                 buffer0, output, gen_counts, eot, gamma: int):
+                 buffer0, output, gen_counts, eot, gamma: int, mesh=None):
     """One SnapKV self-speculation round (draft shares target weights)."""
     lenT0, lenD0 = cache.lengths, draft.lengths
 
@@ -72,7 +72,7 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
     dk, dv, lens, tok = draft.k, draft.v, lenD0, buffer0
     drafted = []
     for i in range(gamma):
-        impl = impls.snapkv_draft_attn(config, lenT0 + i, lens)
+        impl = impls.snapkv_draft_attn(config, lenT0 + i, lens, mesh=mesh)
         logits, (dk, dv) = llama.forward(params, config, tok, impl, (dk, dv),
                                          last_only=True)
         tok = argmax_tokens(logits)
@@ -82,7 +82,7 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
 
     # verify: target attention, dual-append at the ROUND-START draft offset
     # (overwrites the spec-written entries with target-quality k/v).
-    impl = impls.verify_dual_attn(config, lenT0, lenD0)
+    impl = impls.verify_dual_attn(config, lenT0, lenD0, mesh=mesh)
     logits, (ck, cv, dk, dv) = llama.forward(
         params, config, buffer, impl, (cache.k, cache.v, dk, dv))
     target_tokens = argmax_tokens(logits)
@@ -97,32 +97,44 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "budget", "sink"),
+    jax.jit, static_argnames=("config", "gamma", "budget", "sink", "mesh"),
     donate_argnames=("cache", "draft", "output", "gen_counts"))
 def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
-                    buffer0, last_acc_tok, output, gen_counts, eot,
-                    gamma: int, budget: int, sink: int):
+                    buffer0, last_acc_tok, stale, output, gen_counts, eot,
+                    gamma: int, budget: int, sink: int, mesh=None):
     """One StreamingLLM self-speculation round.
 
     Invariant at entry: draft.lengths == slot of `last_acc_tok` (the newest
-    accepted token whose draft K/V may be stale after rollback — it is re-fed
-    together with the bonus, so the first draft step always has dec_len 2,
-    uniformizing the reference's ragged double-advance path
-    (tests/StreamingLLM/selfspec_benchmark.py:216-224)).
+    accepted token, re-fed together with the bonus so the first draft step
+    always has dec_len 2, uniformizing the reference's ragged double-advance
+    path, tests/StreamingLLM/selfspec_benchmark.py:216-224).
+
+    `stale` [B] bool: True iff last_acc_tok's slot was never written (only
+    after a fully-accepted round — the final drafted token is never appended
+    by the draft loop). The re-feed writes that slot's K/V ONLY then: XLA's
+    matmul tilings differ between prefill (T=128) and decode shapes, so
+    re-computing K/V for a token whose slot holds prefill-written values can
+    change low bits and break the draft==target bit-exactness invariant
+    (observed: llama-3.2-1b dims, first round after encode).
     """
     lenT0, lenD0 = cache.lengths, draft.lengths
+    B = buffer0.shape[0]
 
-    def step(dk, dv, lens, tokens):
+    def step(dk, dv, lens, tokens, write_mask=None):
         impl = impls.streaming_draft_attn(config, lens, draft.evicted, budget,
-                                          sink)
+                                          sink, mesh=mesh,
+                                          write_mask=write_mask)
         logits, (dk, dv) = llama.forward(params, config, tokens, impl,
                                          (dk, dv), last_only=True)
         return dk, dv, lens + tokens.shape[1], argmax_tokens(logits)
 
     # step 1: re-feed last accepted + current token; remaining steps unrolled
     # (a lax.scan would copy the draft cache across the scan boundary)
+    mask0 = jnp.concatenate([stale[:, None],
+                             jnp.ones((B, 1), bool)], axis=1)
     dk, dv, lens, nxt = step(draft.k, draft.v, lenD0,
-                             jnp.concatenate([last_acc_tok, buffer0], axis=1))
+                             jnp.concatenate([last_acc_tok, buffer0], axis=1),
+                             write_mask=mask0)
     drafted = [nxt]
     for _ in range(gamma - 1):
         dk, dv, lens, nxt = step(dk, dv, lens, nxt)
@@ -131,7 +143,7 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
 
     # verify: target-only (StreamingLLM verify never writes the draft cache,
     # Engine/StreamingLLM/model.py:209)
-    impl = impls.target_attn(config, lenT0)
+    impl = impls.target_attn(config, lenT0, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, buffer, impl,
                                      (cache.k, cache.v))
     target_tokens = argmax_tokens(logits)
@@ -143,7 +155,11 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
     # slot(buffer[a-1]) = lenD0 + a  (last_acc@lenD0, buffer[j]@lenD0+1+j)
     new_draft = DraftKVCache(dk, dv, lenD0 + accept, draft.evicted)
     new_last_acc = jnp.take_along_axis(buffer, accept[:, None] - 1, axis=1)
-    return (new_cache, new_draft, bonus, new_last_acc, output, gen_counts,
+    # the draft loop wrote slots lenD0..lenD0+gamma; slot lenD0+gamma+1 (the
+    # final drafted token, reached only on full acceptance) is unwritten
+    new_stale = accept == gamma + 1
+    return (new_cache, new_draft, bonus, new_last_acc, new_stale, output,
+            gen_counts,
             dict(terminal=terminal, accepted_drafts=accepted, accept_nums=accept))
 
 
@@ -159,12 +175,12 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "max_new_tokens",
-                                    "temperature", "top_p"),
+                                    "temperature", "top_p", "mesh"),
                    donate_argnames=("cache",))
 def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
                                   max_new_tokens: int,
                                   temperature: float = 0.0,
-                                  top_p: float = 1.0, key=None):
+                                  top_p: float = 1.0, key=None, mesh=None):
     """Baseline decode: while-loop of 1-token steps, EOS-checked on device.
 
     temperature 0.0 = greedy argmax (the reference's benchmark mode); > 0
@@ -185,8 +201,8 @@ def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
         return (step < max_new_tokens) & jnp.any(alive)
 
     def body(s):
-        step, tok, cache, output, alive, key = s
-        impl = impls.target_attn(config, cache.lengths)
+        step, tok, cache, output, alive, counts, key = s
+        impl = impls.target_attn(config, cache.lengths, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                          (cache.k, cache.v))
         if temperature > 0.0:
@@ -197,13 +213,15 @@ def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
         cache = KVCache(ck, cv, cache.lengths + jnp.where(alive, 1, 0))
         output = output.at[:, jnp.minimum(step, max_new_tokens - 1)].set(
             jnp.where(alive, nxt[:, 0], 0))
+        counts = counts + alive.astype(jnp.int32)
         alive = alive & ~_is_eot(nxt[:, 0], eot)
-        return step + 1, nxt, cache, output, alive, key
+        return step + 1, nxt, cache, output, alive, counts, key
 
     alive = ~_is_eot(tok[:, 0], eot)
-    step, tok, cache, output, alive, key = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), tok, cache, output, alive, key))
-    return output, jnp.minimum(step, max_new_tokens) * jnp.ones((B,), jnp.int32), cache
+    counts = jnp.ones((B,), jnp.int32)     # output[:, 0] is always emitted
+    step, tok, cache, output, alive, counts, key = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tok, cache, output, alive, counts, key))
+    return output, counts, cache
 
 
 def _round_body(round_fn):
@@ -243,14 +261,15 @@ def _spec_generate_fused(params, config, cache, draft, buffer0, extra, output,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "max_new_tokens"),
+    jax.jit, static_argnames=("config", "gamma", "max_new_tokens", "mesh"),
     donate_argnames=("cache", "draft", "output", "gen_counts"))
 def snapkv_generate_fused(params, config, cache: KVCache, draft: DraftKVCache,
                           buffer0, output, gen_counts, eot, gamma: int,
-                          max_new_tokens: int):
+                          max_new_tokens: int, mesh=None):
     def round_fn(cache, draft, b0, extra, output, gen_counts):
         cache, draft, b0, output, gen_counts, info = snapkv_round(
-            params, config, cache, draft, b0, output, gen_counts, eot, gamma)
+            params, config, cache, draft, b0, output, gen_counts, eot, gamma,
+            mesh=mesh)
         return cache, draft, b0, extra, output, gen_counts, info
 
     extra = jnp.zeros((buffer0.shape[0], 0), jnp.int32)
@@ -263,22 +282,26 @@ def snapkv_generate_fused(params, config, cache: KVCache, draft: DraftKVCache,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "gamma", "max_new_tokens", "budget", "sink",
-                     "compact_trigger"),
+                     "compact_trigger", "mesh"),
     donate_argnames=("cache", "draft", "output", "gen_counts"))
 def streaming_generate_fused(params, config, cache: KVCache,
                              draft: DraftKVCache, buffer0, last_acc, output,
                              gen_counts, eot, gamma: int, max_new_tokens: int,
-                             budget: int, sink: int, compact_trigger: int):
-    def round_fn(cache, draft, b0, last_acc, output, gen_counts):
+                             budget: int, sink: int, compact_trigger: int,
+                             mesh=None):
+    def round_fn(cache, draft, b0, extra, output, gen_counts):
+        last_acc, stale = extra
         draft = cache_lib.streaming_compact(draft, budget, sink,
                                             compact_trigger)
-        cache, draft, b0, last_acc, output, gen_counts, info = streaming_round(
-            params, config, cache, draft, b0, last_acc, output, gen_counts,
-            eot, gamma, budget, sink)
-        return cache, draft, b0, last_acc, output, gen_counts, info
+        (cache, draft, b0, last_acc, stale, output, gen_counts,
+         info) = streaming_round(
+            params, config, cache, draft, b0, last_acc, stale, output,
+            gen_counts, eot, gamma, budget, sink, mesh=mesh)
+        return cache, draft, b0, (last_acc, stale), output, gen_counts, info
 
+    extra0 = (last_acc, jnp.zeros((buffer0.shape[0],), bool))
     (cache, draft, output, gen_counts, rounds, accepted) = _spec_generate_fused(
-        params, config, cache, draft, buffer0, last_acc, output, gen_counts,
+        params, config, cache, draft, buffer0, extra0, output, gen_counts,
         eot, gamma, max_new_tokens, round_fn)
     return cache, draft, output, gen_counts, rounds, accepted
 
@@ -327,7 +350,8 @@ def generate_autoregressive(engine: Engine, input_ids, max_new_tokens: int,
     if fused:
         output, counts, engine.cache = autoregressive_generate_fused(
             engine.params, engine.config, engine.cache, tok, eot,
-            max_new_tokens, temperature=temperature, top_p=top_p, key=key)
+            max_new_tokens, temperature=temperature, top_p=top_p, key=key,
+            mesh=engine.mesh)
         jax.block_until_ready(output)
         stats.wall_time_s = time.perf_counter() - t0
         stats.generated_tokens = int(jnp.sum(counts))
@@ -373,6 +397,7 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
     if engine.spec == "streaming":
         # invariant: draft.lengths points at the newest accepted token's slot
         last_acc = input_ids[:, -1:]
+        stale = jnp.zeros((B,), bool)    # slot holds prefill-exact K/V
         engine.set_lengths(draft=engine.draft.lengths - 1)
 
     stats = SpecStats()
@@ -390,14 +415,14 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
                     engine.params, engine.config, engine.cache, buffer0,
                     output, gen_counts, eot, gamma, max_new_tokens,
                     engine.retro_clusters, engine.retro_cap, max_clusters,
-                    engine.squeeze_threshold, recent)
+                    engine.squeeze_threshold, recent, mesh=engine.mesh)
             elif engine.spec == "quest":
                 from magicdec_tpu.engine.quest import quest_generate_fused
                 (engine.cache, output, gen_counts, rounds,
                  accepted) = quest_generate_fused(
                     engine.params, engine.config, engine.cache, buffer0,
                     output, gen_counts, eot, gamma, max_new_tokens,
-                    engine.draft_budget, engine.latest_k)
+                    engine.draft_budget, engine.latest_k, mesh=engine.mesh)
             else:
                 from magicdec_tpu.engine.retro import retro_generate_fused
                 recent = engine.latest_k
@@ -407,7 +432,8 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
                  accepted) = retro_generate_fused(
                     engine.params, engine.config, engine.cache, buffer0,
                     output, gen_counts, eot, gamma, max_new_tokens,
-                    engine.retro_clusters, engine.retro_cap, nprobe, recent)
+                    engine.retro_clusters, engine.retro_cap, nprobe, recent,
+                    mesh=engine.mesh)
             jax.block_until_ready(output)
             stats.wall_time_s = time.perf_counter() - t0
             stats.rounds = int(rounds)
@@ -419,14 +445,16 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
             (engine.cache, engine.draft, output, gen_counts, rounds,
              accepted) = snapkv_generate_fused(
                 engine.params, engine.config, engine.cache, engine.draft,
-                buffer0, output, gen_counts, eot, gamma, max_new_tokens)
+                buffer0, output, gen_counts, eot, gamma, max_new_tokens,
+                mesh=engine.mesh)
         else:
             trigger = engine.draft.size - (engine.draft_headroom // 2)
             (engine.cache, engine.draft, output, gen_counts, rounds,
              accepted) = streaming_generate_fused(
                 engine.params, engine.config, engine.cache, engine.draft,
                 buffer0, last_acc, output, gen_counts, eot, gamma,
-                max_new_tokens, engine.draft_budget, engine.sink_size, trigger)
+                max_new_tokens, engine.draft_budget, engine.sink_size, trigger,
+                mesh=engine.mesh)
         jax.block_until_ready(output)
         stats.wall_time_s = time.perf_counter() - t0
         stats.rounds = int(rounds)
@@ -441,14 +469,16 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
             (engine.cache, engine.draft, buffer0, output, gen_counts,
              info) = snapkv_round(engine.params, engine.config, engine.cache,
                                   engine.draft, buffer0, output, gen_counts,
-                                  eot, gamma)
+                                  eot, gamma, mesh=engine.mesh)
         else:
             engine.compact_draft()
-            (engine.cache, engine.draft, buffer0, last_acc, output, gen_counts,
-             info) = streaming_round(engine.params, engine.config, engine.cache,
-                                     engine.draft, buffer0, last_acc, output,
-                                     gen_counts, eot, gamma,
-                                     engine.draft_budget, engine.sink_size)
+            (engine.cache, engine.draft, buffer0, last_acc, stale, output,
+             gen_counts, info) = streaming_round(
+                engine.params, engine.config, engine.cache,
+                engine.draft, buffer0, last_acc, stale, output,
+                gen_counts, eot, gamma,
+                engine.draft_budget, engine.sink_size,
+                mesh=engine.mesh)
         stats.rounds += 1
         stats.total_drafted += B * gamma
         stats.total_accepted_drafts += int(info["accepted_drafts"])

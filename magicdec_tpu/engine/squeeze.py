@@ -37,9 +37,37 @@ from magicdec_tpu.ops.rope import rope
 NEG_INF = -1e30
 
 
+def squeeze_select(config: ModelArgs, q, cent_l, counts_l, *,
+                   max_clusters: int, threshold: float):
+    """The SqueezedAttention selection rule, standalone for unit testing.
+
+    q [B,T,Hq,D] (rotated), cent_l [B,C,Hkv*D], counts_l [B,C] member counts.
+    A cluster's estimated softmax mass = count * softmax(q . centroid),
+    summed over heads/query rows and normalized; the top `max_clusters` by
+    mass are ranked and those clearing `threshold` are kept (the fork's
+    probability-threshold percentile, squeezedattention/kernels.py:10+, under
+    a static compute envelope). Returns (top_c [B,maxC] int32 cluster ids,
+    keep [B,maxC] bool).
+    """
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    G = config.n_head // Hkv
+    B, T = q.shape[:2]
+    C = cent_l.shape[1]
+    qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
+    cent = cent_l.reshape(B, C, Hkv, Dh)                   # [B,C,Hkv,D]
+    logit = jnp.einsum("bthgd,bchd->bthgc", qg, cent) * (Dh ** -0.5)
+    w = jax.nn.softmax(logit, axis=-1) * counts_l[:, None, None, None, :]
+    mass = jnp.sum(w, axis=(1, 2, 3))                      # [B, C]
+    mass = mass / jnp.maximum(jnp.sum(mass, -1, keepdims=True), 1e-9)
+    top_mass, top_c = jax.lax.top_k(mass, max_clusters)
+    keep = top_mass >= threshold                           # [B, maxC]
+    return top_c, keep
+
+
 def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                        centroids, cluster_slots, counts, clustered_kv=None, *,
-                       max_clusters: int, threshold: float, recent: int):
+                       max_clusters: int, threshold: float, recent: int,
+                       mesh=None):
     """attn_impl for one SqueezedAttention draft step.
 
     centroids [L,B,C,Hkv*D] / cluster_slots [L,B,C,cap] are joint over heads
@@ -62,15 +90,9 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
         # estimated per-cluster softmax mass (count-weighted centroid score)
-        C = centroids.shape[2]
-        qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
-        cent = centroids[l].reshape(B, C, Hkv, Dh)         # [B,C,Hkv,D]
-        logit = jnp.einsum("bthgd,bchd->bthgc", qg, cent) * (Dh ** -0.5)
-        w = jax.nn.softmax(logit, axis=-1) * counts[l][:, None, None, None, :]
-        mass = jnp.sum(w, axis=(1, 2, 3))                  # [B, C]
-        mass = mass / jnp.maximum(jnp.sum(mass, -1, keepdims=True), 1e-9)
-        top_mass, top_c = jax.lax.top_k(mass, max_clusters)
-        keep = top_mass >= threshold                       # [B, maxC]
+        top_c, keep = squeeze_select(config, q, centroids[l], counts[l],
+                                     max_clusters=max_clusters,
+                                     threshold=threshold)
 
         cs = cluster_slots[l]                              # [B, C, cap]
         sel = jax.vmap(lambda a, i: a[i])(cs, top_c)       # [B, maxC, cap]
@@ -84,9 +106,11 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         cap = cluster_slots.shape[3]
 
         if clustered_kv is not None:
-            from magicdec_tpu.ops.pallas.page_gather import page_gather
+            from magicdec_tpu.ops.pallas.page_gather import \
+                page_gather_sharded
             cl_k, cl_v = clustered_kv
-            kc, vc = page_gather(cl_k, cl_v, l, top_c, page=cap)
+            kc, vc = page_gather_sharded(cl_k, cl_v, l, top_c, page=cap,
+                                         mesh=mesh)
             kc = kc.reshape(B, -1, HD)
             vc = vc.reshape(B, -1, HD)
 
@@ -125,12 +149,13 @@ def squeeze_draft_attn(config: ModelArgs, lengths_before: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
-                     "max_clusters", "recent"),
+                     "max_clusters", "recent", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
 def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                            output, gen_counts, eot, gamma: int,
                            max_new_tokens: int, n_clusters: int, cap: int,
-                           max_clusters: int, threshold: float, recent: int):
+                           max_clusters: int, threshold: float, recent: int,
+                           mesh=None):
     """Full SqueezedAttention-style self-spec generation (one while_loop)."""
     from magicdec_tpu.engine import attention_impls as impls
     from magicdec_tpu.engine.spec import _accept_and_update
@@ -160,7 +185,8 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
             impl = squeeze_draft_attn(config, lens, centroids, cluster_slots,
                                       counts, clustered_kv,
                                       max_clusters=max_clusters,
-                                      threshold=threshold, recent=recent)
+                                      threshold=threshold, recent=recent,
+                                      mesh=mesh)
             logits, (ck, cv) = llama.forward(params, config, tok, impl,
                                              (ck, cv), last_only=True)
             tok = argmax_tokens(logits)
@@ -168,7 +194,7 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
             drafted.append(tok)
         buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
-        impl = impls.target_attn(config, lenT0)
+        impl = impls.target_attn(config, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,
                                          (ck, cv))
         target_tokens = argmax_tokens(logits)

@@ -6,7 +6,8 @@ SqueezedAttention's cuML clustering (squeezedattention/clustering.py:12-101):
 clusters each (layer, sequence, kv-head)'s keys so drafting can score
 centroids instead of every key. Pure jnp — Lloyd iterations with fixed trip
 count, mask-aware (slots beyond each sequence's length are ignored), empty
-clusters re-seeded to the farthest point of the largest cluster's pull.
+clusters retain their previous centroid (the deterministic strided init
+spreads seeds widely enough that re-seeding never mattered in practice).
 """
 
 from __future__ import annotations

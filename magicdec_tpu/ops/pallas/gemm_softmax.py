@@ -66,6 +66,23 @@ def centroid_scores(q: jax.Array, centroids: jax.Array, *,
     return out
 
 
+def centroid_scores_sharded(q, centroids, *, mesh=None,
+                            interpret: bool = False):
+    """centroid_scores under a (dp, tp) mesh: batch over dp, KV heads over tp
+    (q's Hq axis and centroids' Hkv axis shard together; the per-head scores
+    need no collectives — the caller's sum over heads does, and GSPMD inserts
+    it). Falls through to the plain kernel off-mesh."""
+    if mesh is None or mesh.devices.size == 1:
+        return centroid_scores(q, centroids, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+    fn = jax.shard_map(
+        functools.partial(centroid_scores, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P("dp", None, "tp", None), P("dp", "tp", None, None)),
+        out_specs=P("dp", "tp", None), check_vma=False)
+    return fn(q, centroids)
+
+
 def centroid_scores_xla(q: jax.Array, centroids: jax.Array) -> jax.Array:
     """Reference XLA path (used on CPU and as the test oracle)."""
     B, T, Hq, D = q.shape

@@ -79,6 +79,25 @@ def _dma_kernel(l_ref, pages_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, sems,
     jax.lax.fori_loop(0, n_waves, wave_body, 0)
 
 
+def page_gather_sharded(k_cache, v_cache, layer, pages, *, page: int,
+                        mesh=None, interpret: bool = False):
+    """page_gather under a (dp, tp) mesh: batch rows shard over dp, packed
+    head columns over tp — each shard gathers its own blocks, no collectives.
+    Falls through to the plain kernel off-mesh."""
+    if mesh is None or mesh.devices.size == 1:
+        return page_gather(k_cache, v_cache, layer, pages, page=page,
+                           interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+    fn = jax.shard_map(
+        functools.partial(page_gather, page=page, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(None, "dp", None, "tp"), P(None, "dp", None, "tp"),
+                  P(), P("dp", None)),
+        out_specs=(P("dp", None, None, "tp"), P("dp", None, None, "tp")),
+        check_vma=False)
+    return fn(k_cache, v_cache, layer, pages)
+
+
 @functools.partial(jax.jit, static_argnames=("page", "interpret", "mode"))
 def page_gather(k_cache: jax.Array, v_cache: jax.Array, layer, pages,
                 *, page: int = 128, interpret: bool = False,

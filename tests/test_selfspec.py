@@ -75,6 +75,53 @@ def test_small_budget_is_lossless(params, prompt, baseline_tokens, spec):
     assert 0.0 <= stats.acceptance_rate <= 1.0
 
 
+def test_streaming_refeed_preserves_fresh_slots(params, prompt):
+    """The round's T=2 re-feed must NOT overwrite the last accepted token's
+    K/V when its slot is fresh (stale=False): XLA's matmul numerics differ
+    between prefill and decode shapes, so re-computed K/V can change low
+    bits and break the full-budget bit-exactness invariant (observed on
+    llama-3.2-1b dims, TPU). Plant sentinel bits and check they survive."""
+    from magicdec_tpu.engine.spec import streaming_round, _eot_array
+    from magicdec_tpu.cache import DraftKVCache
+
+    budget = PREFIX + MAX_NEW + 16
+    eng = Engine(CFG, params, batch_size=B, max_len=256, prefill_chunk=32,
+                 spec="streaming", draft_budget=budget, sink_size=4)
+    buffer0 = eng.encode(prompt)
+    last_acc = prompt[:, -1:]
+    d = eng.draft
+    d = DraftKVCache(d.k, d.v, d.lengths - 1, d.evicted)
+    slot = int(d.lengths[0])
+    sentinel_k = jnp.full_like(d.k[:, :, slot], 7.25)
+    d = DraftKVCache(d.k.at[:, :, slot].set(sentinel_k), d.v, d.lengths,
+                     d.evicted)
+
+    out = jnp.zeros((B, MAX_NEW + 8), jnp.int32)
+    gc = jnp.zeros((B,), jnp.int32)
+    stale = jnp.zeros((B,), bool)
+    (_, new_draft, _, _, new_stale, _, _, _) = streaming_round(
+        eng.params, eng.config, eng.cache, d, buffer0, last_acc, stale, out,
+        gc, _eot_array(()), 3, budget, eng.sink_size)
+    np.testing.assert_array_equal(np.asarray(new_draft.k[:, :, slot]),
+                                  np.asarray(sentinel_k))
+    # ...and with stale=True the slot IS (re)written (fresh engine: the
+    # jitted round donates its cache buffers)
+    eng2 = Engine(CFG, params, batch_size=B, max_len=256, prefill_chunk=32,
+                  spec="streaming", draft_budget=budget, sink_size=4)
+    buffer0b = eng2.encode(prompt)
+    d2 = eng2.draft
+    d2 = DraftKVCache(d2.k.at[:, :, slot].set(sentinel_k), d2.v,
+                      jnp.full_like(d2.lengths, slot), d2.evicted)
+    out2 = jnp.zeros((B, MAX_NEW + 8), jnp.int32)
+    gc2 = jnp.zeros((B,), jnp.int32)
+    (_, new_draft2, _, _, _, _, _, _) = streaming_round(
+        eng2.params, eng2.config, eng2.cache, d2, buffer0b, last_acc,
+        jnp.ones((B,), bool), out2, gc2, _eot_array(()), 3, budget,
+        eng2.sink_size)
+    assert not np.array_equal(np.asarray(new_draft2.k[:, :, slot]),
+                              np.asarray(sentinel_k))
+
+
 def test_acceptance_counters_consistent(params, prompt):
     out, counts, stats = _spec_tokens(params, prompt, "snapkv", budget=PREFIX,
                                       gamma=3, window_size=16, sink_size=4)

@@ -82,3 +82,83 @@ def test_tp_selfspec_matches_single_device(params, prompt):
 def test_validate_tp_rejects_uneven():
     with pytest.raises(AssertionError):
         shard_lib.validate_tp(CFG, 3)
+
+
+def test_flash_stacked_sharded_equals_unsharded():
+    """The shard_mapped flash-decode kernel (dp x tp mesh) must be bit-equal
+    to the single-device kernel: attention is per-KV-head, so the tp split
+    needs zero collectives and introduces no numeric change."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magicdec_tpu.engine.attention_impls import _flash_stacked
+    from magicdec_tpu.ops.pallas.flash_decode import flash_decode_stacked
+
+    L, Bk, S, Hkv, G, D = 2, 4, 256, 4, 2, 32
+    Hq, HD, T = Hkv * G, Hkv * D, 3
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (Bk, T, Hq, D), jnp.float32)
+    ck = jax.random.normal(jax.random.PRNGKey(1), (L, Bk, S, HD), jnp.float32)
+    cv = jax.random.normal(jax.random.PRNGKey(2), (L, Bk, S, HD), jnp.float32)
+    valid = jnp.asarray([[100, 101, 102], [256, 256, 256],
+                         [7, 8, 9], [130, 131, 132]], jnp.int32)
+    layer = jnp.int32(1)
+
+    ref = flash_decode_stacked(q, ck, cv, layer, valid, interpret=True)
+
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    qs = jax.device_put(q, NamedSharding(mesh, P("dp", None, "tp", None)))
+    cks = jax.device_put(ck, NamedSharding(mesh, P(None, "dp", None, "tp")))
+    cvs = jax.device_put(cv, NamedSharding(mesh, P(None, "dp", None, "tp")))
+    vs = jax.device_put(valid, NamedSharding(mesh, P("dp", None)))
+    got = _flash_stacked(qs, cks, cvs, layer, vs, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tp_selfspec_flash_kernel_matches_single_device(params, prompt):
+    """VERDICT r1 #1: the flash path must stay ON under a multi-device mesh
+    (no process-wide dense fallback), with outputs bit-equal to the
+    single-device flash run. Forced-flash mode runs the kernels in interpret
+    mode on CPU — the same shard_mapped program the TPU executes."""
+    from magicdec_tpu.engine import attention_impls as impls
+
+    impls.set_attend_mode("flash")
+    try:
+        ref_eng = Engine(CFG, params, batch_size=B, max_len=128,
+                         prefill_chunk=32, spec="snapkv", draft_budget=32,
+                         window_size=8, sink_size=4)
+        ref, ref_counts, _ = generate_selfspec(ref_eng, prompt, gamma=2,
+                                               max_new_tokens=MAX_NEW)
+
+        mesh = shard_lib.make_mesh(dp=2, tp=4)
+        eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                     spec="snapkv", draft_budget=32, window_size=8,
+                     sink_size=4, mesh=mesh)
+        got, counts, _ = generate_selfspec(eng, prompt, gamma=2,
+                                           max_new_tokens=MAX_NEW)
+    finally:
+        impls.set_attend_mode("auto")
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tp_streaming_flash_kernel_matches_single_device(params, prompt):
+    """Streaming's interval-flash draft path under the mesh, bit-equal."""
+    from magicdec_tpu.engine import attention_impls as impls
+
+    impls.set_attend_mode("flash")
+    try:
+        ref_eng = Engine(CFG, params, batch_size=B, max_len=128,
+                         prefill_chunk=32, spec="streaming", draft_budget=48,
+                         sink_size=4)
+        ref, ref_counts, _ = generate_selfspec(ref_eng, prompt, gamma=2,
+                                               max_new_tokens=MAX_NEW)
+
+        mesh = shard_lib.make_mesh(dp=2, tp=4)
+        eng = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                     spec="streaming", draft_budget=48, sink_size=4, mesh=mesh)
+        got, counts, _ = generate_selfspec(eng, prompt, gamma=2,
+                                           max_new_tokens=MAX_NEW)
+    finally:
+        impls.set_attend_mode("auto")
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
