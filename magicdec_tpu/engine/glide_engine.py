@@ -16,6 +16,16 @@ so rollback stays a pure length rewind. The reference compacts only the last
 layer's KV (L1165-1173) because its draft cross-attends it; we compact every
 layer (O(depth) traffic — negligible).
 
+Losslessness scope: LINEAR glide verification runs the same flash target
+attention as autoregressive decoding, so its stream is bit-equal to the
+baseline. TREE verification necessarily attends under the ancestor mask
+(scattered per-row valid sets the two-interval flash kernel cannot express),
+so its target argmax can differ from the linear kernel's at numerical
+near-ties: the emitted stream is the greedy stream of the tree-masked
+target forward — self-consistent and exact on CPU test shapes, but on TPU
+it may deviate from the flash AR stream at tie points (the reference's
+triton tree attention deviates from its flash linear path identically).
+
 The glide draft block is models/glide.py; train_glide() in train.py fits it
 against a frozen target.
 """
