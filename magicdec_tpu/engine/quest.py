@@ -58,20 +58,28 @@ def make_page_meta(cache: KVCache, page: int = 128):
     return kmin, kmax
 
 
-def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
-                     kmin, kmax, *, n_pages: int, latest_pages: int,
-                     page: int = 128, mesh=None):
-    """attn_impl for one Quest draft step (T small).
+def quest_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
+                             kmin, kmax, rec0, *, n_pages: int,
+                             recent_rows: int, page: int = 128, mesh=None):
+    """attn_impl for the ROUND-OPENING Quest draft step: score pages with
+    the min/max key boxes, gather the top pages into per-round buffers,
+    attend them plus the live recent window.
 
-    caches = (ck, cv); kmin/kmax are the stacked [L, B, P, Hkv*D] boxes
-    (read-only during speculation — fresh spec tokens live in the forced
-    recent pages, so their metadata is not needed).
+    caches = (ck, cv, rk, rv, rslot) with rk/rv [L, B, n_pages*page, HD] and
+    rslot [L, B, n_pages*page] int32. Steps 2..gamma reuse the buffers
+    (retro.roundbuf_draft_attn): the page gather — descriptor-issue-bound on
+    TPU (~1.7us per block) — is paid once per ROUND, selections go at most
+    gamma tokens stale, and the recent window (sliced fresh each step)
+    covers all tokens appended during the round. This replaces the page-
+    aligned forced-recent of upstream Quest with a row-granular recent
+    window shared with the retro/squeeze engines.
     """
     Hkv, Dh = config.n_kv_head, config.head_dim
     G = config.n_head // Hkv
 
     def impl(q, k, v, caches, l):
-        ck, cv = caches
+        from magicdec_tpu.engine.retro import _attend_selected
+        ck, cv, rk, rv, rslot = caches
         B, T = q.shape[:2]
         S = ck.shape[2]
         P = S // page
@@ -86,40 +94,31 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         # but on TPU a per-head gather needs either a full-cache relayout or
         # a slow element gather (measured 70+ ms per draft step); selecting
         # one shared page set per sequence keeps the gather a handful of
-        # contiguous [page, Hkv*D] dynamic slices from the packed cache
-        # (every head's data for those slots travels together).
+        # contiguous [page, Hkv*D] blocks (every head's data travels
+        # together).
         qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
         mn = kmin[l].reshape(B, P, Hkv, Dh)
         mx = kmax[l].reshape(B, P, Hkv, Dh)
         lo = jnp.einsum("bthgd,bphd->bthgp", qg, mn)
         hi = jnp.einsum("bthgd,bphd->bthgp", qg, mx)
         scores = jnp.sum(jnp.maximum(lo, hi), axis=(2, 3))[:, -1]  # [B, P]
-        # forced-recent pages and not-yet-written pages are excluded from
-        # top-k (recent pages are appended separately below)
-        last_page = (lengths_before + T - 1) // page             # [B]
-        recent_lo = jnp.maximum(last_page - (latest_pages - 1), 0)
+        # pages FULLY inside the round's recent window are excluded from
+        # top-k (the window covers them); a page straddling rec0 stays
+        # scoreable — its rows >= rec0 are deduped at the attention mask
+        rec_page_lo = -(-rec0 // page)          # ceil: first fully-covered
         pid = jnp.arange(P, dtype=jnp.int32)
-        scores = jnp.where(pid[None, :] < recent_lo[:, None], scores, NEG_INF)
+        scores = jnp.where(pid[None, :] < rec_page_lo[:, None], scores,
+                           NEG_INF)
         top_scores, top_pages = jax.lax.top_k(scores, n_pages)   # [B, n]
-        # when n_pages exceeds the scoreable pages (early generation, or
-        # budget > context) top_k ties on NEG_INF and returns masked indices
-        # that duplicate the forced recent pages — mark those slots invalid
-        # so they can't double-count keys in the draft softmax
+        # NEG_INF ties (early generation / budget > context) return masked
+        # indices — mark those page slots invalid
         top_ok = top_scores > NEG_INF / 2                        # [B, n]
-        recent = recent_lo[:, None] + jnp.arange(latest_pages, dtype=jnp.int32)[None, :]
-        pages = jnp.concatenate([top_pages, recent], axis=1)     # [B, n+r]
-        page_ok = jnp.concatenate(
-            [top_ok, jnp.ones(recent.shape, bool)], axis=1)      # [B, n+r]
 
-        # ---- gather the pages as contiguous [page, Hkv*D] blocks ------------
-        # On TPU a scalar-prefetched Pallas DMA gather (the reference's
-        # gather_copy.cu counterpart); XLA's block gather measured ~60 GB/s
-        # and gets re-executed when fused into both attention matmuls.
         if jax.default_backend() == "tpu":
             from magicdec_tpu.ops.pallas.page_gather import \
                 page_gather_sharded
-            k_sel, v_sel = page_gather_sharded(ck, cv, l, pages, page=page,
-                                               mesh=mesh)
+            k_sel, v_sel = page_gather_sharded(ck, cv, l, top_pages,
+                                               page=page, mesh=mesh)
         else:
             HD = ck.shape[3]
 
@@ -131,21 +130,25 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                 return blk[0, 0], vlk[0, 0]
 
             take = jax.vmap(jax.vmap(slice_page, (None, 0)), (0, 0))
-            k_sel, v_sel = take(jnp.arange(B), pages)      # [B, n+r, page, HD]
-        n_sel = pages.shape[1]
-        k_sel = k_sel.reshape(B, n_sel * page, Hkv, Dh)
-        v_sel = v_sel.reshape(B, n_sel * page, Hkv, Dh)
-        slot_sel = (pages[:, :, None] * page
-                    + jnp.arange(page, dtype=jnp.int32)).reshape(B, -1)
+            k_sel, v_sel = take(jnp.arange(B), top_pages)
+        HD = ck.shape[3]
+        k_sel = k_sel.reshape(B, n_pages * page, HD)
+        v_sel = v_sel.reshape(B, n_pages * page, HD)
+        slot_sel = jnp.where(
+            top_ok[:, :, None],
+            top_pages[:, :, None] * page
+            + jnp.arange(page, dtype=jnp.int32)[None, None, :],
+            -1).reshape(B, -1)                             # [B, n*page]
 
-        # ---- dense attention over the selected slots -----------------------
-        upto = dense.decode_valid_upto(lengths_before, T)        # [B, T]
-        slot_ok = jnp.broadcast_to(page_ok[:, :, None],
-                                   (B, n_sel, page)).reshape(B, -1)
-        mask = ((slot_sel[:, None, :] < upto[:, :, None])
-                & slot_ok[:, None, :])                          # [B, T, Ssel]
-        ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
-        return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
+        rk = jax.lax.dynamic_update_slice(rk, k_sel[None].astype(rk.dtype),
+                                          (l, 0, 0, 0))
+        rv = jax.lax.dynamic_update_slice(rv, v_sel[None].astype(rv.dtype),
+                                          (l, 0, 0, 0))
+        rslot = jax.lax.dynamic_update_slice(rslot, slot_sel[None],
+                                             (l, 0, 0))
+        ctx = _attend_selected(config, q, k_sel, v_sel, slot_sel, ck, cv, l,
+                               lengths_before, rec0, recent_rows)
+        return ctx, (ck, cv, rk, rv, rslot)
 
     return impl
 
@@ -157,23 +160,37 @@ def quest_draft_attn(config: ModelArgs, lengths_before: jax.Array,
 def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
                 buffer0, output, gen_counts, eot, gamma: int, budget: int,
                 latest_k: int, page: int = 128, mesh=None):
-    """One Quest self-speculation round: gamma sparse-page draft steps +
-    full-attention verify; spec K/V live in (and are overwritten in) the
-    target cache, so rollback is the usual length rewind."""
+    """One Quest self-speculation round: a select+gather draft step, gamma-1
+    round-buffer draft steps, then a full-attention verify; spec K/V live in
+    (and are overwritten in) the target cache, so rollback is the usual
+    length rewind."""
     from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.retro import roundbuf_draft_attn
     from magicdec_tpu.engine.spec import _accept_and_update
 
     lenT0 = cache.lengths
     n_pages = max(budget // page - latest_k // page, 1)
-    latest_pages = max(latest_k // page, 1)
+    recent_rows = latest_k + gamma
+    rec0 = jnp.maximum(lenT0 + 1 - latest_k, 0)
+    L, B = cache.k.shape[0], cache.k.shape[1]
+    HD = cache.k.shape[3]
+    NS = n_pages * page
+    rk = jnp.zeros((L, B, NS, HD), cache.k.dtype)
+    rv = jnp.zeros((L, B, NS, HD), cache.v.dtype)
+    rslot = jnp.full((L, B, NS), -1, jnp.int32)
 
-    # unrolled (a lax.scan would copy the cache across the scan boundary)
     ck, cv, lens, tok = cache.k, cache.v, lenT0, buffer0
-    drafted = []
-    for _ in range(gamma):
-        impl = quest_draft_attn(config, lens, kmin, kmax, n_pages=n_pages,
-                                latest_pages=latest_pages, page=page,
-                                mesh=mesh)
+    impl = quest_select_gather_attn(config, lens, kmin, kmax, rec0,
+                                    n_pages=n_pages, recent_rows=recent_rows,
+                                    page=page, mesh=mesh)
+    logits, (ck, cv, rk, rv, rslot) = llama.forward(
+        params, config, tok, impl, (ck, cv, rk, rv, rslot), last_only=True)
+    tok = argmax_tokens(logits)
+    lens = lens + 1
+    drafted = [tok]
+    for _ in range(gamma - 1):
+        impl = roundbuf_draft_attn(config, lens, rk, rv, rslot, rec0,
+                                   recent_rows=recent_rows)
         logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
                                          last_only=True)
         tok = argmax_tokens(logits)
@@ -192,6 +209,7 @@ def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
     return (new_cache, bonus, output, gen_counts,
             dict(terminal=terminal, accepted_drafts=accepted,
                  accept_nums=accept))
+
 
 
 def update_page_meta(cache: KVCache, kmin, kmax, span_start, span: int,

@@ -86,49 +86,80 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
-    """Materialize cluster-major K/V copies [L, B, C*cap, HD] (one
-    prefill-time gather), so draft steps fetch whole clusters as contiguous
-    blocks through the Pallas DMA gather — the device analog of the
-    reference's CPU wave buffer layout (cluster-major bytes, gather by
-    cluster id). Pad slots (-1) hold garbage and are masked at attention.
-    Costs ~(C*cap/S)x extra cache memory, paid only by retro/squeeze."""
+    """Materialize a KV-FUSED cluster-major store [L, B, C*(2*cap), HD]:
+    cluster c's K rows at [c*2cap, c*2cap+cap) immediately followed by its V
+    rows (one prefill-time gather). Draft steps then fetch a whole cluster's
+    K AND V with ONE DMA descriptor (page_gather_single, page=2*cap) — the
+    gather is descriptor-issue-bound (~1.7us each measured on v5e), so the
+    fused layout halves its cost. Device analog of the reference's CPU wave
+    buffer layout + gather_copy_and_concat (gather_copy.cu). Pad slots (-1)
+    hold garbage and are masked at attention. Costs ~(2*C*cap/S)x extra
+    cache memory, paid only by retro/squeeze."""
     L, B, S, HD = cache.k.shape
+    C = cluster_slots.shape[2]
     src = jnp.clip(cluster_slots, 0, S - 1).reshape(L, B, -1)  # [L,B,C*cap]
     take = jax.vmap(jax.vmap(lambda a, i: a[i]))
-    return take(cache.k, src), take(cache.v, src)
+    k_rows = take(cache.k, src).reshape(L, B, C, cap, HD)
+    v_rows = take(cache.v, src).reshape(L, B, C, cap, HD)
+    kv = jnp.concatenate([k_rows, v_rows], axis=3)          # [L,B,C,2cap,HD]
+    return kv.reshape(L, B, C * 2 * cap, HD)
 
 
-def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
-                     centroids, cluster_slots, clustered_kv=None, *,
-                     nprobe: int, recent: int, mesh=None):
-    """attn_impl for one RetroInfer-style draft step.
+def _recent_kv(ck, cv, l, rec0, recent: int):
+    """Per-sequence contiguous recent-window slices from the stacked cache:
+    [B, recent, HD] each. rec0 [B] are the window starts (callers guarantee
+    rec0 + recent <= S)."""
+    B = rec0.shape[0]
+    HD = ck.shape[3]
 
-    caches = (ck, cv); centroids [L,B,C,Hkv*D], cluster_slots [L,B,C,cap]
-    (joint over heads, see build_cluster_index). Selected-cluster members +
-    the recent window are gathered and attended densely. When
-    `clustered_kv` (the cluster-major store from build_clustered_store) is
-    given — the TPU fast path — clusters are fetched as contiguous blocks
-    through the Pallas DMA gather; otherwise member rows are sliced from the
-    stacked cache.
-    """
+    def rec_slice(b, s0):
+        kr = jax.lax.dynamic_slice(ck, (l, b, s0, 0), (1, 1, recent, HD))
+        vr = jax.lax.dynamic_slice(cv, (l, b, s0, 0), (1, 1, recent, HD))
+        return kr[0, 0], vr[0, 0]
+
+    return jax.vmap(rec_slice)(jnp.arange(B), rec0)
+
+
+def _attend_selected(config, q, k_sel, v_sel, slot_sel, ck, cv, l,
+                     lengths_before, rec0, recent_rows: int):
+    """Dense draft attention over [gathered working set + the round's recent
+    window]. slot_sel [B, NS] holds each gathered row's absolute cache slot
+    (-1 = invalid); the window [rec0, rec0 + recent_rows) is FIXED for the
+    whole round (rec0 [B] chosen at round start so the window spans the
+    latest_k prefix rows plus every slot the round's draft steps append).
+    Gathered rows whose slot falls inside the window are masked out — the
+    window covers them — so the union is exact: no hole at the window's
+    page/cluster boundary and no double-counted keys."""
     Hkv, Dh = config.n_kv_head, config.head_dim
-    G = config.n_head // Hkv
+    B, T = q.shape[:2]
+    kr, vr = _recent_kv(ck, cv, l, rec0, recent_rows)
+    rec_slots = rec0[:, None] + jnp.arange(recent_rows,
+                                           dtype=jnp.int32)[None, :]
+    slot_sel = jnp.where(slot_sel < rec0[:, None], slot_sel, -1)  # dedup
+    k_all = jnp.concatenate([k_sel, kr], axis=1)
+    v_all = jnp.concatenate([v_sel, vr], axis=1)
+    slot_all = jnp.concatenate([slot_sel, rec_slots], axis=1)   # [B, Ssel]
+    upto = dense.decode_valid_upto(lengths_before, T)
+    mask = ((slot_all >= 0)[:, None, :]
+            & (slot_all[:, None, :] < upto[:, :, None]))        # [B,T,Ssel]
+    Ssel = slot_all.shape[1]
+    ctx = dense.masked_attention_general(
+        q, k_all.reshape(B, Ssel, Hkv, Dh), v_all.reshape(B, Ssel, Hkv, Dh),
+        mask)
+    return ctx.reshape(B, T, -1)
 
-    def impl(q, k, v, caches, l):
-        ck, cv = caches
-        B, T = q.shape[:2]
-        S = ck.shape[2]
-        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q = rope(config, q, positions)
-        k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
-        # ---- centroid scores (reference: batch_gemm_softmax over centroids;
-        # here the fused Pallas kernel on TPU, XLA elsewhere); per-head
-        # scores summed over heads to rank the shared clusters
+def retro_select_fn(config: ModelArgs, centroids, *, nprobe: int,
+                    mesh=None):
+    """Default cluster selection: fused centroid GEMM+softmax scores summed
+    over heads, fixed top-nprobe (the RetroInfer rule). Returns
+    select_fn(q_rotated, l) -> (top_c [B, nprobe], keep [B, nprobe])."""
+    Hkv, Dh = config.n_kv_head, config.head_dim
+
+    def select(q, l):
         from magicdec_tpu.ops.pallas.gemm_softmax import (
             centroid_scores_sharded, centroid_scores_xla)
+        B = q.shape[0]
         C = centroids.shape[2]
         cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
         if jax.default_backend() == "tpu":
@@ -137,66 +168,137 @@ def retro_draft_attn(config: ModelArgs, lengths_before: jax.Array,
             scores = centroid_scores_xla(q, cent)
         scores = jnp.sum(scores, axis=1)                   # [B, C]
         _, top_c = jax.lax.top_k(scores, nprobe)           # [B, nprobe]
+        return top_c, jnp.ones(top_c.shape, bool)
 
-        # ---- gather selected clusters' member slots (shared across heads) --
+    return select
+
+
+def retro_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
+                             select_fn, cluster_slots, kv_store, rec0, *,
+                             nprobe: int, recent_rows: int, mesh=None):
+    """attn_impl for the ROUND-OPENING draft step: select clusters
+    (select_fn(q, l) -> (top_c, keep) — RetroInfer fixed top-nprobe or
+    SqueezedAttention mass-threshold), gather them, WRITE them into
+    per-round buffers, attend.
+
+    caches = (ck, cv, rk, rv, rslot) with rk/rv [L, B, nprobe*cap, HD] and
+    rslot [L, B, nprobe*cap] int32 (absolute slot ids, -1 invalid). The
+    remaining gamma-1 draft steps of the round reuse the buffers
+    (roundbuf_draft_attn) so the descriptor-issue-bound cluster gather is
+    paid ONCE per round instead of once per draft token; selections are at
+    most gamma tokens stale, and the live recent window covers everything
+    appended during the round.
+    """
+    cap = cluster_slots.shape[3]
+
+    def impl(q, k, v, caches, l):
+        ck, cv, rk, rv, rslot = caches
+        B, T = q.shape[:2]
+        S = ck.shape[2]
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+
+        top_c, keep = select_fn(q, l)                      # [B, nprobe] x2
+
         cs = cluster_slots[l]                              # [B, C, cap]
-        sel = jax.vmap(lambda a, i: a[i])(cs, top_c).reshape(B, -1)
-        # forced recent window (covers the spec tokens written this round);
-        # its start is clamped at 0 and the slot ids are derived from the
-        # clamped start so gathered data and mask ids stay aligned. Overlap
-        # with cluster members double-counts those keys in the softmax — an
-        # accepted approximation (slight recent-key upweighting), also
-        # present upstream when the steady zone meets the wave index.
-        rec0 = jnp.maximum(lengths_before + T - recent, 0)  # [B]
-        rec = rec0[:, None] + jnp.arange(recent, dtype=jnp.int32)[None, :]
-        slot_sel = jnp.concatenate([sel, rec], axis=1)     # [B, Ssel]
-        member_ok = slot_sel >= 0
-        slot_gather = jnp.clip(slot_sel, 0, S - 1)
+        sel_slots = jax.vmap(lambda a, i: a[i])(cs, top_c)  # [B, nprobe, cap]
+        sel_slots = jnp.where(keep[..., None], sel_slots, -1)
+        sel_slots = sel_slots.reshape(B, -1)               # [B, nprobe*cap]
         HD = ck.shape[3]
-        cap = cluster_slots.shape[3]
 
-        if clustered_kv is not None:
-            # cluster blocks from the cluster-major store (Pallas DMA) + the
-            # recent window as one contiguous dynamic_slice from the cache
+        if kv_store is not None:
+            # whole clusters (K rows + V rows) per DMA descriptor
             from magicdec_tpu.ops.pallas.page_gather import \
-                page_gather_sharded
-            cl_k, cl_v = clustered_kv                      # [L,B,C*cap,HD]
-            kc, vc = page_gather_sharded(cl_k, cl_v, l, top_c, page=cap,
-                                         mesh=mesh)
-            kc = kc.reshape(B, -1, HD)
-            vc = vc.reshape(B, -1, HD)
-
-            def rec_slice(b, s0):
-                kr = jax.lax.dynamic_slice(ck, (l, b, s0, 0),
-                                           (1, 1, recent, HD))
-                vr = jax.lax.dynamic_slice(cv, (l, b, s0, 0),
-                                           (1, 1, recent, HD))
-                return kr[0, 0], vr[0, 0]
-
-            kr, vr = jax.vmap(rec_slice)(jnp.arange(B), rec0)
-            k_sel = jnp.concatenate([kc, kr], axis=1)
-            v_sel = jnp.concatenate([vc, vr], axis=1)
+                page_gather_single_sharded
+            blocks = page_gather_single_sharded(kv_store, l, top_c,
+                                                page=2 * cap, mesh=mesh)
+            k_sel = blocks[:, :, :cap].reshape(B, nprobe * cap, HD)
+            v_sel = blocks[:, :, cap:].reshape(B, nprobe * cap, HD)
         else:
-            # full packed rows sliced from the stacked cache (CPU fallback)
+            # CPU fallback: member rows sliced from the stacked cache
+            slot_gather = jnp.clip(sel_slots, 0, S - 1)
+
             def slice_row(b, s):
                 kr = jax.lax.dynamic_slice(ck, (l, b, s, 0), (1, 1, 1, HD))
                 vr = jax.lax.dynamic_slice(cv, (l, b, s, 0), (1, 1, 1, HD))
                 return kr[0, 0, 0], vr[0, 0, 0]
 
             take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
-            k_sel, v_sel = take(jnp.arange(B), slot_gather)  # [B, Ssel, HD]
-        Ssel = slot_gather.shape[1]
-        k_sel = k_sel.reshape(B, Ssel, Hkv, Dh)
-        v_sel = v_sel.reshape(B, Ssel, Hkv, Dh)
+            k_sel, v_sel = take(jnp.arange(B), slot_gather)
 
-        from magicdec_tpu.ops.attention import decode_valid_upto
-        upto = decode_valid_upto(lengths_before, T)
-        mask = (member_ok[:, None, :]
-                & (slot_gather[:, None, :] < upto[:, :, None]))  # [B,T,Ssel]
-        ctx = dense.masked_attention_general(q, k_sel, v_sel, mask)
-        return ctx.reshape(B, T, Hkv * G * Dh), (ck, cv)
+        rk = jax.lax.dynamic_update_slice(rk, k_sel[None].astype(rk.dtype),
+                                          (l, 0, 0, 0))
+        rv = jax.lax.dynamic_update_slice(rv, v_sel[None].astype(rv.dtype),
+                                          (l, 0, 0, 0))
+        rslot = jax.lax.dynamic_update_slice(rslot, sel_slots[None],
+                                             (l, 0, 0))
+        ctx = _attend_selected(config, q, k_sel, v_sel, sel_slots, ck, cv, l,
+                               lengths_before, rec0, recent_rows)
+        return ctx, (ck, cv, rk, rv, rslot)
 
     return impl
+
+
+def roundbuf_draft_attn(config: ModelArgs, lengths_before: jax.Array,
+                        rk, rv, rslot, rec0, *, recent_rows: int):
+    """attn_impl for draft steps 2..gamma: attend the round's gathered
+    working set (rk/rv/rslot, built by the round-opening step) plus the live
+    recent window. No gather, no scoring — the draft's HBM traffic is the
+    O(budget) buffer read only."""
+
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
+        B, T = q.shape[:2]
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+        ctx = _attend_selected(config, q, rk[l], rv[l], rslot[l], ck, cv, l,
+                               lengths_before, rec0, recent_rows)
+        return ctx, (ck, cv)
+
+    return impl
+
+
+def clustered_draft_loop(params, config: ModelArgs, ck, cv, lenT0, buffer0,
+                         select_fn, cluster_slots, kv_store, *, gamma: int,
+                         nprobe: int, cap: int, recent: int, mesh=None):
+    """The gamma-step clustered draft loop shared by the RetroInfer and
+    SqueezedAttention engines: one select+gather step, then gamma-1 steps
+    over the round buffer. Returns (ck, cv, buffer [B, gamma+1])."""
+    L, B = ck.shape[0], ck.shape[1]
+    HD = ck.shape[3]
+    NS = nprobe * cap
+    rk = jnp.zeros((L, B, NS, HD), ck.dtype)
+    rv = jnp.zeros((L, B, NS, HD), cv.dtype)
+    rslot = jnp.full((L, B, NS), -1, jnp.int32)
+
+    # round-fixed recent window: spans the last `recent` prefix rows plus
+    # every slot this round's draft steps will append (gamma tokens)
+    recent_rows = recent + gamma
+    rec0 = jnp.maximum(lenT0 + 1 - recent, 0)
+    lens, tok = lenT0, buffer0
+    impl = retro_select_gather_attn(config, lens, select_fn, cluster_slots,
+                                    kv_store, rec0, nprobe=nprobe,
+                                    recent_rows=recent_rows, mesh=mesh)
+    logits, (ck, cv, rk, rv, rslot) = llama.forward(
+        params, config, tok, impl, (ck, cv, rk, rv, rslot), last_only=True)
+    tok = argmax_tokens(logits)
+    lens = lens + 1
+    drafted = [tok]
+    for _ in range(gamma - 1):
+        impl = roundbuf_draft_attn(config, lens, rk, rv, rslot, rec0,
+                                   recent_rows=recent_rows)
+        logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
+                                         last_only=True)
+        tok = argmax_tokens(logits)
+        lens = lens + 1
+        drafted.append(tok)
+    return ck, cv, jnp.concatenate([buffer0] + drafted, axis=1)
 
 
 @functools.partial(
@@ -209,17 +311,19 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          max_new_tokens: int, n_clusters: int, cap: int,
                          nprobe: int, recent: int, mesh=None):
     """Full RetroInfer-style self-spec generation in one while_loop. The
-    cluster index is built once from the prefill cache; freshly generated
-    tokens are covered by the forced recent window (the reference similarly
-    rebuilds its wave index only at prefill)."""
+    cluster index is built once from the prefill cache; fresh tokens are
+    covered by the forced recent window (the reference similarly rebuilds
+    its wave index only at prefill). Cluster selection+gather runs once per
+    ROUND (the gather is DMA-descriptor-bound); steps 2..gamma attend the
+    round buffer."""
     from magicdec_tpu.engine import attention_impls as impls
     from magicdec_tpu.engine.spec import _accept_and_update
 
     max_len = cache.k.shape[2]
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
-    clustered_kv = (build_clustered_store(cache, cluster_slots, cap)
-                    if jax.default_backend() == "tpu" else None)
+    kv_store = (build_clustered_store(cache, cluster_slots, cap)
+                if jax.default_backend() == "tpu" else None)
 
     def cond(state):
         cache, gen_counts, terminal = state[0], state[3], state[6]
@@ -230,20 +334,12 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     def body(state):
         cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
         lenT0 = cache.lengths
-
-        # unrolled (a lax.scan would copy the cache across the scan boundary)
-        ck, cv, lens, tok = cache.k, cache.v, lenT0, buffer0
-        drafted = []
-        for _ in range(gamma):
-            impl = retro_draft_attn(config, lens, centroids, cluster_slots,
-                                    clustered_kv, nprobe=nprobe,
-                                    recent=recent, mesh=mesh)
-            logits, (ck, cv) = llama.forward(params, config, tok, impl,
-                                             (ck, cv), last_only=True)
-            tok = argmax_tokens(logits)
-            lens = lens + 1
-            drafted.append(tok)
-        buffer = jnp.concatenate([buffer0] + drafted, axis=1)
+        select_fn = retro_select_fn(config, centroids, nprobe=nprobe,
+                                    mesh=mesh)
+        ck, cv, buffer = clustered_draft_loop(
+            params, config, cache.k, cache.v, lenT0, buffer0, select_fn,
+            cluster_slots, kv_store, gamma=gamma, nprobe=nprobe, cap=cap,
+            recent=recent, mesh=mesh)
 
         impl = impls.target_attn(config, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,
@@ -263,6 +359,7 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     idx = jnp.minimum(gen_counts, capo - 1)
     output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
     return cache, output, gen_counts + 1, rounds, accepted
+
 
 
 class HostClusterStore:
