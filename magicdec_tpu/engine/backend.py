@@ -200,9 +200,11 @@ class Engine:
         self.sink_size = sink_size
         self.latest_k = latest_k
         self.retro_cap = retro_cap
-        # reference config: n_clusters = ctx/16 (RetrievalAttention
-        # benchmark/config.py:17-56)
-        self.retro_clusters = retro_clusters or max(max_len // 16, 8)
+        # reference sizing is n_clusters = ctx/16 (RetrievalAttention
+        # benchmark/config.py:17-56); ctx/32 with cap=32 halves it so the
+        # KV-fused cluster-major store is cache-sized (C*2cap == 2*ctx
+        # rows) — ctx/16 OOMs next to the live cache at B=128/P=2048
+        self.retro_clusters = retro_clusters or max(max_len // 32, 8)
         self.squeeze_threshold = squeeze_threshold
         self.prefill_chunk = prefill_chunk
         self.draft_headroom = draft_headroom

@@ -8,18 +8,18 @@ draft_budget, chunk_size, bsz, max_len, latest_k), speculate(tok, bsz, gamma),
 verify, draft_kv_update(accepted)).
 
 Method: the target cache is viewed as pages of `page` slots; each page and KV
-head keeps elementwise min/max key boxes. A draft step scores every page with
-the upper bound sum_d max(q_d*kmin_d, q_d*kmax_d) (summed over the GQA group),
-always includes the most recent `latest_k` slots' pages, attends only to the
-top budget/page pages, and appends its K/V into the TARGET cache tail — the
-verify pass overwrites those slots with full-attention activations (same
-positions), so acceptance rollback stays a pure length rewind and no separate
-draft cache exists at all.
+head keeps elementwise min/max key boxes. The ROUND-OPENING draft step scores
+every page with the upper bound sum_d max(q_d*kmin_d, q_d*kmax_d) (summed
+over the GQA group) and gathers the top pages into the round buffer's top
+region; all draft steps attend [top pages | rolling tail window] through the
+flash kernel (retro.py round-buffer machinery — the gather is DMA-descriptor-
+bound, so it runs once per round, not once per token). Speculated K/V ride
+the target cache AND the tail window; verify dual-writes both, so rollback
+is a pure length rewind.
 
 Pages here are a SCORING granularity, not a memory layout: the cache stays
-the flat packed [L, B, S, Hkv*D] buffer, so no page tables, and the gather of
-selected pages feeds a dense attention over O(budget) keys — the draft's
-memory traffic is O(budget + metadata) with metadata = cache/page size.
+the flat packed [L, B, S, Hkv*D] buffer, so no page tables, and the draft's
+HBM traffic is O(budget + metadata) with metadata = cache/page size.
 """
 
 from __future__ import annotations
@@ -29,13 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from magicdec_tpu import cache as cache_lib
 from magicdec_tpu.cache import KVCache
-from magicdec_tpu.engine.sampling import argmax_tokens
-from magicdec_tpu.models import llama
 from magicdec_tpu.models.config import ModelArgs
-from magicdec_tpu.ops import attention as dense
-from magicdec_tpu.ops.rope import rope
 
 NEG_INF = -1e30
 
@@ -58,61 +53,41 @@ def make_page_meta(cache: KVCache, page: int = 128):
     return kmin, kmax
 
 
-def quest_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
-                             kmin, kmax, rec0, *, n_pages: int,
-                             recent_rows: int, page: int = 128, mesh=None):
-    """attn_impl for the ROUND-OPENING Quest draft step: score pages with
-    the min/max key boxes, gather the top pages into per-round buffers,
-    attend them plus the live recent window.
+def quest_select_gather_fn(config: ModelArgs, kmin, kmax, tail_base, *,
+                           n_pages: int, page: int = 128, mesh=None):
+    """select_gather_fn for retro.roundtail_draft_loop: score pages with the
+    min/max key boxes, gather the winners.
 
-    caches = (ck, cv, rk, rv, rslot) with rk/rv [L, B, n_pages*page, HD] and
-    rslot [L, B, n_pages*page] int32. Steps 2..gamma reuse the buffers
-    (retro.roundbuf_draft_attn): the page gather — descriptor-issue-bound on
-    TPU (~1.7us per block) — is paid once per ROUND, selections go at most
-    gamma tokens stale, and the recent window (sliced fresh each step)
-    covers all tokens appended during the round. This replaces the page-
-    aligned forced-recent of upstream Quest with a row-granular recent
-    window shared with the retro/squeeze engines.
+    Upstream Quest selects pages per attention head, but on TPU a per-head
+    gather needs either a full-cache relayout or a slow element gather
+    (measured 70+ ms per draft step); selecting one shared page set per
+    sequence keeps the gather contiguous [page, Hkv*D] blocks — every head's
+    data for a selected slot travels together. Pages fully inside the tail
+    window are excluded (the window covers them); a straddling page stays
+    scoreable, its covered rows deduped by the colmask.
     """
     Hkv, Dh = config.n_kv_head, config.head_dim
     G = config.n_head // Hkv
 
-    def impl(q, k, v, caches, l):
-        from magicdec_tpu.engine.retro import _attend_selected
-        ck, cv, rk, rv, rslot = caches
+    def select_gather(q, ck, cv, l):
         B, T = q.shape[:2]
         S = ck.shape[2]
         P = S // page
-        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q = rope(config, q, positions)
-        k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
-
-        # ---- page scores: sum_{g,d} max(q*kmin, q*kmax) per head, then
-        # SUMMED OVER HEADS: upstream Quest selects pages per attention head,
-        # but on TPU a per-head gather needs either a full-cache relayout or
-        # a slow element gather (measured 70+ ms per draft step); selecting
-        # one shared page set per sequence keeps the gather a handful of
-        # contiguous [page, Hkv*D] blocks (every head's data travels
-        # together).
+        HD = ck.shape[3]
         qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
         mn = kmin[l].reshape(B, P, Hkv, Dh)
         mx = kmax[l].reshape(B, P, Hkv, Dh)
         lo = jnp.einsum("bthgd,bphd->bthgp", qg, mn)
         hi = jnp.einsum("bthgd,bphd->bthgp", qg, mx)
         scores = jnp.sum(jnp.maximum(lo, hi), axis=(2, 3))[:, -1]  # [B, P]
-        # pages FULLY inside the round's recent window are excluded from
-        # top-k (the window covers them); a page straddling rec0 stays
-        # scoreable — its rows >= rec0 are deduped at the attention mask
-        rec_page_lo = -(-rec0 // page)          # ceil: first fully-covered
+        first_covered = -(-tail_base // page)              # ceil
         pid = jnp.arange(P, dtype=jnp.int32)
-        scores = jnp.where(pid[None, :] < rec_page_lo[:, None], scores,
+        scores = jnp.where(pid[None, :] < first_covered[:, None], scores,
                            NEG_INF)
         top_scores, top_pages = jax.lax.top_k(scores, n_pages)   # [B, n]
         # NEG_INF ties (early generation / budget > context) return masked
         # indices — mark those page slots invalid
-        top_ok = top_scores > NEG_INF / 2                        # [B, n]
+        top_ok = top_scores > NEG_INF / 2
 
         if jax.default_backend() == "tpu":
             from magicdec_tpu.ops.pallas.page_gather import \
@@ -120,8 +95,6 @@ def quest_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
             k_sel, v_sel = page_gather_sharded(ck, cv, l, top_pages,
                                                page=page, mesh=mesh)
         else:
-            HD = ck.shape[3]
-
             def slice_page(b, p):
                 blk = jax.lax.dynamic_slice(ck, (l, b, p * page, 0),
                                             (1, 1, page, HD))
@@ -131,7 +104,6 @@ def quest_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
 
             take = jax.vmap(jax.vmap(slice_page, (None, 0)), (0, 0))
             k_sel, v_sel = take(jnp.arange(B), top_pages)
-        HD = ck.shape[3]
         k_sel = k_sel.reshape(B, n_pages * page, HD)
         v_sel = v_sel.reshape(B, n_pages * page, HD)
         slot_sel = jnp.where(
@@ -139,77 +111,9 @@ def quest_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
             top_pages[:, :, None] * page
             + jnp.arange(page, dtype=jnp.int32)[None, None, :],
             -1).reshape(B, -1)                             # [B, n*page]
+        return k_sel, v_sel, slot_sel
 
-        rk = jax.lax.dynamic_update_slice(rk, k_sel[None].astype(rk.dtype),
-                                          (l, 0, 0, 0))
-        rv = jax.lax.dynamic_update_slice(rv, v_sel[None].astype(rv.dtype),
-                                          (l, 0, 0, 0))
-        rslot = jax.lax.dynamic_update_slice(rslot, slot_sel[None],
-                                             (l, 0, 0))
-        ctx = _attend_selected(config, q, k_sel, v_sel, slot_sel, ck, cv, l,
-                               lengths_before, rec0, recent_rows)
-        return ctx, (ck, cv, rk, rv, rslot)
-
-    return impl
-
-
-@functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "budget", "latest_k",
-                              "page", "mesh"),
-    donate_argnames=("cache", "output", "gen_counts"))
-def quest_round(params, config: ModelArgs, cache: KVCache, kmin, kmax,
-                buffer0, output, gen_counts, eot, gamma: int, budget: int,
-                latest_k: int, page: int = 128, mesh=None):
-    """One Quest self-speculation round: a select+gather draft step, gamma-1
-    round-buffer draft steps, then a full-attention verify; spec K/V live in
-    (and are overwritten in) the target cache, so rollback is the usual
-    length rewind."""
-    from magicdec_tpu.engine import attention_impls as impls
-    from magicdec_tpu.engine.retro import roundbuf_draft_attn
-    from magicdec_tpu.engine.spec import _accept_and_update
-
-    lenT0 = cache.lengths
-    n_pages = max(budget // page - latest_k // page, 1)
-    recent_rows = latest_k + gamma
-    rec0 = jnp.maximum(lenT0 + 1 - latest_k, 0)
-    L, B = cache.k.shape[0], cache.k.shape[1]
-    HD = cache.k.shape[3]
-    NS = n_pages * page
-    rk = jnp.zeros((L, B, NS, HD), cache.k.dtype)
-    rv = jnp.zeros((L, B, NS, HD), cache.v.dtype)
-    rslot = jnp.full((L, B, NS), -1, jnp.int32)
-
-    ck, cv, lens, tok = cache.k, cache.v, lenT0, buffer0
-    impl = quest_select_gather_attn(config, lens, kmin, kmax, rec0,
-                                    n_pages=n_pages, recent_rows=recent_rows,
-                                    page=page, mesh=mesh)
-    logits, (ck, cv, rk, rv, rslot) = llama.forward(
-        params, config, tok, impl, (ck, cv, rk, rv, rslot), last_only=True)
-    tok = argmax_tokens(logits)
-    lens = lens + 1
-    drafted = [tok]
-    for _ in range(gamma - 1):
-        impl = roundbuf_draft_attn(config, lens, rk, rv, rslot, rec0,
-                                   recent_rows=recent_rows)
-        logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
-                                         last_only=True)
-        tok = argmax_tokens(logits)
-        lens = lens + 1
-        drafted.append(tok)
-    buffer = jnp.concatenate([buffer0] + drafted, axis=1)
-
-    # verify with full attention, overwriting the draft-written slots
-    impl = impls.target_attn(config, lenT0, mesh=mesh)
-    logits, (ck, cv) = llama.forward(params, config, buffer, impl, (ck, cv))
-    target_tokens = argmax_tokens(logits)
-
-    accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
-        buffer, target_tokens, eot, gamma, output, gen_counts)
-    new_cache = KVCache(ck, cv, lenT0 + accept)
-    return (new_cache, bonus, output, gen_counts,
-            dict(terminal=terminal, accepted_drafts=accepted,
-                 accept_nums=accept))
-
+    return select_gather
 
 
 def update_page_meta(cache: KVCache, kmin, kmax, span_start, span: int,
@@ -248,36 +152,77 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          output, gen_counts, eot, gamma: int,
                          max_new_tokens: int, budget: int, latest_k: int,
                          page: int = 128, mesh=None):
-    """Full Quest self-spec generation as one on-device while_loop: rounds of
-    quest_round + incremental page-metadata refresh of the touched window."""
+    """Full Quest self-spec generation as one on-device while_loop: rounds
+    of [select+gather draft step, gamma-1 round-buffer draft steps,
+    dual-write verify] plus incremental page-metadata refresh of the touched
+    window (so pages of generated tokens stay selectable after they age out
+    of the tail window)."""
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.retro import (init_tail, roundtail_draft_loop,
+                                           tail_compact)
+    from magicdec_tpu.engine.sampling import argmax_tokens
+    from magicdec_tpu.engine.spec import _accept_and_update
+    from magicdec_tpu.models import llama
+
     max_len = cache.k.shape[2]
     kmin, kmax = make_page_meta(cache, page)
+    n_pages = max(budget // page - latest_k // page, 1)
+    NS = n_pages * page
+    keep = latest_k
+    Wcap = keep + 8 * (gamma + 2)
+    trigger = Wcap - (gamma + 2)
+    bufk, bufv, colmask, tail_len, tail_base = init_tail(cache, NS, Wcap,
+                                                         keep)
 
     def cond(state):
-        cache = state[0]
-        gen_counts, terminal = state[5], state[8]
+        cache, gen_counts, terminal = state[0], state[9], state[11]
         return (~terminal
                 & (jnp.min(gen_counts) < max_new_tokens)
                 & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
 
     def body(state):
-        (cache, kmin, kmax, buffer0, output, gen_counts, rounds, accepted,
-         terminal) = state
-        lenT0 = cache.lengths
-        cache, buffer0, output, gen_counts, info = quest_round(
-            params, config, cache, kmin, kmax, buffer0, output, gen_counts,
-            eot, gamma, budget, latest_k, page, mesh=mesh)
-        kmin, kmax = update_page_meta(cache, kmin, kmax, lenT0, gamma + 1,
-                                      page)
-        return (cache, kmin, kmax, buffer0, output, gen_counts, rounds + 1,
-                accepted + info["accepted_drafts"],
-                terminal | info["terminal"])
+        (cache, kmin, kmax, bufk, bufv, colmask, tail_len, tail_base, output,
+         gen_counts, rounds, terminal, accepted, buffer0) = state
+        old_base = tail_base
+        bufk, bufv, tail_len, tail_base = tail_compact(
+            bufk, bufv, tail_len, tail_base, NS=NS, keep=keep,
+            trigger=trigger)
+        # refresh page metadata ONLY when pages age out of the tail window
+        # (they are unselectable while inside it): the per-round refresh of
+        # the old design cost a ~4ms f32 gather every round
+        kmin, kmax = jax.lax.cond(
+            jnp.any(tail_base > old_base),
+            lambda args: update_page_meta(cache, args[0], args[1], old_base,
+                                          Wcap, page),
+            lambda args: args,
+            (kmin, kmax))
+        lenT0, tlen0 = cache.lengths, tail_len
+        select_gather = quest_select_gather_fn(config, kmin, kmax, tail_base,
+                                               n_pages=n_pages, page=page,
+                                               mesh=mesh)
+        ck, cv, bufk, bufv, colmask, buffer = roundtail_draft_loop(
+            params, config, cache.k, cache.v, bufk, bufv, colmask, tail_len,
+            tail_base, lenT0, buffer0, select_gather, gamma=gamma, NS=NS,
+            mesh=mesh)
 
-    state = (cache, kmin, kmax, buffer0, output, gen_counts, jnp.int32(0),
-             jnp.int32(0), jnp.bool_(False))
+        impl = impls.verify_dual_attn(config, lenT0, NS + tlen0, mesh=mesh)
+        logits, (ck, cv, bufk, bufv) = llama.forward(
+            params, config, buffer, impl, (ck, cv, bufk, bufv))
+        target_tokens = argmax_tokens(logits)
+        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
+            buffer, target_tokens, eot, gamma, output, gen_counts)
+        cache = KVCache(ck, cv, lenT0 + accept)
+        tail_len = tlen0 + accept
+        return (cache, kmin, kmax, bufk, bufv, colmask, tail_len, tail_base,
+                output, gen_counts, rounds + 1, terminal | term,
+                accepted + acc, bonus)
+
+    state = (cache, kmin, kmax, bufk, bufv, colmask, tail_len, tail_base,
+             output, gen_counts, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+             buffer0)
     state = jax.lax.while_loop(cond, body, state)
-    (cache, kmin, kmax, buffer0, output, gen_counts, rounds, accepted,
-     terminal) = state
+    (cache, kmin, kmax, bufk, bufv, colmask, tail_len, tail_base, output,
+     gen_counts, rounds, terminal, accepted, buffer0) = state
     B, cap = output.shape
     idx = jnp.minimum(gen_counts, cap - 1)
     output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])

@@ -98,119 +98,259 @@ def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
     L, B, S, HD = cache.k.shape
     C = cluster_slots.shape[2]
     src = jnp.clip(cluster_slots, 0, S - 1).reshape(L, B, -1)  # [L,B,C*cap]
-    take = jax.vmap(jax.vmap(lambda a, i: a[i]))
-    k_rows = take(cache.k, src).reshape(L, B, C, cap, HD)
-    v_rows = take(cache.v, src).reshape(L, B, C, cap, HD)
-    kv = jnp.concatenate([k_rows, v_rows], axis=3)          # [L,B,C,2cap,HD]
-    return kv.reshape(L, B, C * 2 * cap, HD)
+    out = jnp.zeros((L, B, C, 2 * cap, HD), cache.k.dtype)
+
+    # layer-by-layer scan with in-place writes: the whole-store gather would
+    # otherwise materialize ~3x the store transiently (k rows + v rows +
+    # interleave) and OOM next to the live cache at production sizes
+    def per_layer(out, xs):
+        k_l, v_l, src_l = xs
+        take = jax.vmap(lambda a, i: a[i])
+        k_rows = take(k_l, src_l).reshape(B, C, cap, HD)
+        v_rows = take(v_l, src_l).reshape(B, C, cap, HD)
+        layer = jnp.concatenate([k_rows, v_rows], axis=2)   # [B,C,2cap,HD]
+        return out, layer
+
+    _, layers = jax.lax.scan(per_layer, out, (cache.k, cache.v, src))
+    return layers.reshape(L, B, C * 2 * cap, HD)
 
 
-def _recent_kv(ck, cv, l, rec0, recent: int):
-    """Per-sequence contiguous recent-window slices from the stacked cache:
-    [B, recent, HD] each. rec0 [B] are the window starts (callers guarantee
-    rec0 + recent <= S)."""
-    B = rec0.shape[0]
-    HD = ck.shape[3]
+# ---------------------------------------------------------------------------
+# Round-buffer + tail drafting machinery (shared by quest/retro/squeeze)
+# ---------------------------------------------------------------------------
+# Layout: ONE stacked draft buffer [L, B, R = NS + Wcap, Hkv*D] per fused
+# generation. Columns [0, NS) are the round's gathered working set (pages or
+# clusters — refreshed by the round-opening draft step; pad/dedup holes
+# expressed by a colmask), columns [NS, NS+Wcap) a rolling TAIL window
+# maintained INCREMENTALLY: draft steps append their K/V there, verify
+# dual-writes it (identical to the SnapKV dual-cache discipline), rollback
+# rewinds tail_len, and an amortized compaction shifts the window left.
+# Nothing on the draft hot path slices the target cache — the per-step
+# XLA gathers that capped these engines below 1x are gone — and attention
+# runs through the flash kernel (two intervals + colmask), the same class of
+# program as the SnapKV draft.
 
-    def rec_slice(b, s0):
-        kr = jax.lax.dynamic_slice(ck, (l, b, s0, 0), (1, 1, recent, HD))
-        vr = jax.lax.dynamic_slice(cv, (l, b, s0, 0), (1, 1, recent, HD))
-        return kr[0, 0], vr[0, 0]
 
-    return jax.vmap(rec_slice)(jnp.arange(B), rec0)
+def init_tail(cache: KVCache, NS: int, Wcap: int, keep: int):
+    """Allocate the combined draft buffer and fill its tail region with the
+    last `keep` rows of the (prefilled) target cache. Returns
+    (bufk, bufv [L,B,R,HD], colmask [L,B,R] int32, tail_len [B],
+    tail_base [B] = absolute slot of tail column 0)."""
+    L, B, S, HD = cache.k.shape
+    R = NS + Wcap
+    tail_len = jnp.minimum(cache.lengths, keep)
+    tail_base = cache.lengths - tail_len
+    src = tail_base[:, None] + jnp.arange(Wcap, dtype=jnp.int32)[None, :]
+    src = jnp.clip(src, 0, S - 1)
+
+    def per_layer(k_l, v_l):
+        take = jax.vmap(lambda a, i: a[i])
+        return take(k_l, src), take(v_l, src)
+
+    tk, tv = jax.vmap(per_layer)(cache.k, cache.v)          # [L,B,Wcap,HD]
+    bufk = jnp.zeros((L, B, R, HD), cache.k.dtype).at[:, :, NS:].set(tk)
+    bufv = jnp.zeros((L, B, R, HD), cache.v.dtype).at[:, :, NS:].set(tv)
+    # top region bits are rewritten by each round's opening step; tail bits
+    # stay 1 forever (causality is the kernel's [lo, hi) interval); the
+    # singleton axis keeps the kernel's block shapes TPU-legal
+    colmask = jnp.concatenate(
+        [jnp.zeros((L, B, 1, NS), jnp.int32),
+         jnp.ones((L, B, 1, Wcap), jnp.int32)], axis=3)
+    return bufk, bufv, colmask, tail_len, tail_base
 
 
-def _attend_selected(config, q, k_sel, v_sel, slot_sel, ck, cv, l,
-                     lengths_before, rec0, recent_rows: int):
-    """Dense draft attention over [gathered working set + the round's recent
-    window]. slot_sel [B, NS] holds each gathered row's absolute cache slot
-    (-1 = invalid); the window [rec0, rec0 + recent_rows) is FIXED for the
-    whole round (rec0 [B] chosen at round start so the window spans the
-    latest_k prefix rows plus every slot the round's draft steps append).
-    Gathered rows whose slot falls inside the window are masked out — the
-    window covers them — so the union is exact: no hole at the window's
-    page/cluster boundary and no double-counted keys."""
-    Hkv, Dh = config.n_kv_head, config.head_dim
+def tail_compact(bufk, bufv, tail_len, tail_base, *, NS: int, keep: int,
+                 trigger: int):
+    """Amortized left-shift of the tail window (keep the newest `keep`
+    rows), triggered when any sequence's tail exceeds `trigger`."""
+    need = jnp.any(tail_len > trigger)
+
+    def do(args):
+        bufk, bufv, tail_len, tail_base = args
+        Wcap = bufk.shape[2] - NS
+        shift = jnp.maximum(tail_len - keep, 0)              # [B]
+        src = NS + shift[:, None] + jnp.arange(Wcap, dtype=jnp.int32)[None, :]
+        src = jnp.clip(src, 0, bufk.shape[2] - 1)
+
+        def per_layer(k_l, v_l):
+            take = jax.vmap(lambda a, i: a[i])
+            return take(k_l, src), take(v_l, src)
+
+        tk, tv = jax.vmap(per_layer)(bufk, bufv)
+        bufk = bufk.at[:, :, NS:].set(tk)
+        bufv = bufv.at[:, :, NS:].set(tv)
+        return bufk, bufv, tail_len - shift, tail_base + shift
+
+    return jax.lax.cond(need, do, lambda a: a,
+                        (bufk, bufv, tail_len, tail_base))
+
+
+def _tail_attend(config, q, bufk, bufv, colmask, l, tail_len_before, *,
+                 NS: int, mesh=None):
+    """Flash attention over [gathered top region | causal tail]: row t
+    attends top columns with colmask bits plus tail columns [NS, NS +
+    tail_len_before + t + 1). Dense (mask-equivalent) off-TPU."""
+    from magicdec_tpu.engine.attention_impls import _interp, _use_flash
     B, T = q.shape[:2]
-    kr, vr = _recent_kv(ck, cv, l, rec0, recent_rows)
-    rec_slots = rec0[:, None] + jnp.arange(recent_rows,
-                                           dtype=jnp.int32)[None, :]
-    slot_sel = jnp.where(slot_sel < rec0[:, None], slot_sel, -1)  # dedup
-    k_all = jnp.concatenate([k_sel, kr], axis=1)
-    v_all = jnp.concatenate([v_sel, vr], axis=1)
-    slot_all = jnp.concatenate([slot_sel, rec_slots], axis=1)   # [B, Ssel]
-    upto = dense.decode_valid_upto(lengths_before, T)
-    mask = ((slot_all >= 0)[:, None, :]
-            & (slot_all[:, None, :] < upto[:, :, None]))        # [B,T,Ssel]
-    Ssel = slot_all.shape[1]
-    ctx = dense.masked_attention_general(
-        q, k_all.reshape(B, Ssel, Hkv, Dh), v_all.reshape(B, Ssel, Hkv, Dh),
-        mask)
-    return ctx.reshape(B, T, -1)
-
-
-def retro_select_fn(config: ModelArgs, centroids, *, nprobe: int,
-                    mesh=None):
-    """Default cluster selection: fused centroid GEMM+softmax scores summed
-    over heads, fixed top-nprobe (the RetroInfer rule). Returns
-    select_fn(q_rotated, l) -> (top_c [B, nprobe], keep [B, nprobe])."""
+    ns = jnp.full((B, T), NS, jnp.int32)
+    hi = (NS + tail_len_before[:, None]
+          + jnp.arange(1, T + 1, dtype=jnp.int32)[None, :])
+    if _use_flash(config, T):
+        from magicdec_tpu.ops.pallas.flash_decode import \
+            flash_decode_stacked_masked
+        if mesh is None or mesh.devices.size == 1:
+            return flash_decode_stacked_masked(q, bufk, bufv, l, colmask,
+                                               ns, ns, hi,
+                                               interpret=_interp())
+        from jax.sharding import PartitionSpec as P
+        fn = jax.shard_map(
+            functools.partial(flash_decode_stacked_masked,
+                              interpret=_interp()),
+            mesh=mesh,
+            in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
+                      P(None, "dp", None, "tp"), P(),
+                      P(None, "dp", None, None),
+                      P("dp", None), P("dp", None), P("dp", None)),
+            out_specs=P("dp", None, "tp", None), check_vma=False)
+        return fn(q, bufk, bufv, l, colmask, ns, ns, hi)
     Hkv, Dh = config.n_kv_head, config.head_dim
-
-    def select(q, l):
-        from magicdec_tpu.ops.pallas.gemm_softmax import (
-            centroid_scores_sharded, centroid_scores_xla)
-        B = q.shape[0]
-        C = centroids.shape[2]
-        cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
-        if jax.default_backend() == "tpu":
-            scores = centroid_scores_sharded(q, cent, mesh=mesh)  # [B,Hkv,C]
-        else:
-            scores = centroid_scores_xla(q, cent)
-        scores = jnp.sum(scores, axis=1)                   # [B, C]
-        _, top_c = jax.lax.top_k(scores, nprobe)           # [B, nprobe]
-        return top_c, jnp.ones(top_c.shape, bool)
-
-    return select
+    R = bufk.shape[2]
+    col = jnp.arange(R, dtype=jnp.int32)
+    mask = ((col[None, None, :] < NS) & (colmask[l][:, 0, :][:, None, :] > 0)
+            | ((col[None, None, :] >= NS) & (col[None, None, :] < hi[:, :, None])))
+    ctx = dense.masked_attention_general(
+        q, bufk[l].reshape(B, R, Hkv, Dh), bufv[l].reshape(B, R, Hkv, Dh),
+        mask)
+    return ctx
 
 
-def retro_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
-                             select_fn, cluster_slots, kv_store, rec0, *,
-                             nprobe: int, recent_rows: int, mesh=None):
-    """attn_impl for the ROUND-OPENING draft step: select clusters
-    (select_fn(q, l) -> (top_c, keep) — RetroInfer fixed top-nprobe or
-    SqueezedAttention mass-threshold), gather them, WRITE them into
-    per-round buffers, attend.
+def roundtail_select_attn(config: ModelArgs, lengths_before: jax.Array,
+                          tail_len_before, tail_base, select_gather_fn, *,
+                          NS: int, mesh=None):
+    """attn_impl for the ROUND-OPENING draft step: select + gather blocks
+    into the buffer's top region, stamp the colmask (pad holes, and rows the
+    tail already covers — exact dedup), append the step's K/V to the tail,
+    attend. caches = (ck, cv, bufk, bufv, colmask).
 
-    caches = (ck, cv, rk, rv, rslot) with rk/rv [L, B, nprobe*cap, HD] and
-    rslot [L, B, nprobe*cap] int32 (absolute slot ids, -1 invalid). The
-    remaining gamma-1 draft steps of the round reuse the buffers
-    (roundbuf_draft_attn) so the descriptor-issue-bound cluster gather is
-    paid ONCE per round instead of once per draft token; selections are at
-    most gamma tokens stale, and the live recent window covers everything
-    appended during the round.
+    select_gather_fn(q_rotated, ck, cv, l) -> (k_sel, v_sel [B, NS, HD],
+    sel_slots [B, NS] absolute cache slots, -1 invalid) — page scoring
+    (quest) or centroid scoring (retro/squeeze).
     """
-    cap = cluster_slots.shape[3]
 
     def impl(q, k, v, caches, l):
-        ck, cv, rk, rv, rslot = caches
+        ck, cv, bufk, bufv, colmask = caches
         B, T = q.shape[:2]
-        S = ck.shape[2]
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
 
-        top_c, keep = select_fn(q, l)                      # [B, nprobe] x2
+        k_sel, v_sel, sel_slots = select_gather_fn(q, ck, cv, l)
+        bufk = jax.lax.dynamic_update_slice(
+            bufk, k_sel[None].astype(bufk.dtype), (l, 0, 0, 0))
+        bufv = jax.lax.dynamic_update_slice(
+            bufv, v_sel[None].astype(bufv.dtype), (l, 0, 0, 0))
+        cm_top = ((sel_slots >= 0)
+                  & (sel_slots < tail_base[:, None])).astype(jnp.int32)
+        colmask = jax.lax.dynamic_update_slice(
+            colmask, cm_top[None, :, None, :], (l, 0, 0, 0))
+        bufk = cache_lib.append_at_layer(bufk, k, NS + tail_len_before, l)
+        bufv = cache_lib.append_at_layer(bufv, v, NS + tail_len_before, l)
+        ctx = _tail_attend(config, q, bufk, bufv, colmask, l,
+                           tail_len_before, NS=NS, mesh=mesh)
+        B_, T_ = q.shape[:2]
+        return ctx.reshape(B_, T_, -1), (ck, cv, bufk, bufv, colmask)
 
-        cs = cluster_slots[l]                              # [B, C, cap]
-        sel_slots = jax.vmap(lambda a, i: a[i])(cs, top_c)  # [B, nprobe, cap]
-        sel_slots = jnp.where(keep[..., None], sel_slots, -1)
-        sel_slots = sel_slots.reshape(B, -1)               # [B, nprobe*cap]
+    return impl
+
+
+def roundtail_draft_attn(config: ModelArgs, lengths_before: jax.Array,
+                         tail_len_before, *, NS: int, mesh=None):
+    """attn_impl for draft steps 2..gamma: append to the tail, attend the
+    round buffer — no gather, no scoring, no target-cache reads.
+    caches = (ck, cv, bufk, bufv, colmask)."""
+
+    def impl(q, k, v, caches, l):
+        ck, cv, bufk, bufv, colmask = caches
+        B, T = q.shape[:2]
+        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+        bufk = cache_lib.append_at_layer(bufk, k, NS + tail_len_before, l)
+        bufv = cache_lib.append_at_layer(bufv, v, NS + tail_len_before, l)
+        ctx = _tail_attend(config, q, bufk, bufv, colmask, l,
+                           tail_len_before, NS=NS, mesh=mesh)
+        return ctx.reshape(B, T, -1), (ck, cv, bufk, bufv, colmask)
+
+    return impl
+
+
+def roundtail_draft_loop(params, config: ModelArgs, ck, cv, bufk, bufv,
+                         colmask, tail_len, tail_base, lenT0, buffer0,
+                         select_gather_fn, *, gamma: int, NS: int, mesh=None):
+    """The gamma-step round-buffer draft loop shared by quest/retro/squeeze:
+    one select+gather step, then gamma-1 tail steps. Returns
+    (ck, cv, bufk, bufv, colmask, buffer [B, gamma+1])."""
+    lens, tlen, tok = lenT0, tail_len, buffer0
+    impl = roundtail_select_attn(config, lens, tlen, tail_base,
+                                 select_gather_fn, NS=NS, mesh=mesh)
+    logits, (ck, cv, bufk, bufv, colmask) = llama.forward(
+        params, config, tok, impl, (ck, cv, bufk, bufv, colmask),
+        last_only=True)
+    tok = argmax_tokens(logits)
+    lens, tlen = lens + 1, tlen + 1
+    drafted = [tok]
+    for _ in range(gamma - 1):
+        impl = roundtail_draft_attn(config, lens, tlen, NS=NS, mesh=mesh)
+        logits, (ck, cv, bufk, bufv, colmask) = llama.forward(
+            params, config, tok, impl, (ck, cv, bufk, bufv, colmask),
+            last_only=True)
+        tok = argmax_tokens(logits)
+        lens, tlen = lens + 1, tlen + 1
+        drafted.append(tok)
+    return ck, cv, bufk, bufv, colmask, jnp.concatenate([buffer0] + drafted,
+                                                        axis=1)
+
+
+def retro_select_gather_fn(config: ModelArgs, centroids, cluster_slots,
+                           kv_store, tail_base, *, nprobe: int, mesh=None,
+                           select_fn=None):
+    """select_gather_fn for the clustered engines: centroid-score top-nprobe
+    (or a custom select_fn — SqueezedAttention's threshold rule), then fetch
+    whole clusters (K and V together) from the KV-fused cluster-major store
+    with one DMA descriptor each. CPU fallback slices member rows."""
+    Hkv, Dh = config.n_kv_head, config.head_dim
+    cap = cluster_slots.shape[3]
+
+    def default_select(q, l):
+        from magicdec_tpu.ops.pallas.gemm_softmax import (
+            centroid_scores_sharded, centroid_scores_xla)
+        B = q.shape[0]
+        C = centroids.shape[2]
+        cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        if jax.default_backend() == "tpu":
+            scores = centroid_scores_sharded(q, cent, mesh=mesh)
+        else:
+            scores = centroid_scores_xla(q, cent)
+        scores = jnp.sum(scores, axis=1)                   # [B, C]
+        _, top_c = jax.lax.top_k(scores, nprobe)
+        return top_c, jnp.ones(top_c.shape, bool)
+
+    sel = select_fn or default_select
+
+    def select_gather(q, ck, cv, l):
+        B = q.shape[0]
+        S = ck.shape[2]
         HD = ck.shape[3]
-
+        top_c, keep = sel(q, l)                            # [B, nprobe] x2
+        cs = cluster_slots[l]                              # [B, C, cap]
+        sel_slots = jax.vmap(lambda a, i: a[i])(cs, top_c)  # [B,nprobe,cap]
+        sel_slots = jnp.where(keep[..., None], sel_slots, -1)
+        sel_slots = sel_slots.reshape(B, -1)
         if kv_store is not None:
-            # whole clusters (K rows + V rows) per DMA descriptor
             from magicdec_tpu.ops.pallas.page_gather import \
                 page_gather_single_sharded
             blocks = page_gather_single_sharded(kv_store, l, top_c,
@@ -218,7 +358,6 @@ def retro_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
             k_sel = blocks[:, :, :cap].reshape(B, nprobe * cap, HD)
             v_sel = blocks[:, :, cap:].reshape(B, nprobe * cap, HD)
         else:
-            # CPU fallback: member rows sliced from the stacked cache
             slot_gather = jnp.clip(sel_slots, 0, S - 1)
 
             def slice_row(b, s):
@@ -228,77 +367,72 @@ def retro_select_gather_attn(config: ModelArgs, lengths_before: jax.Array,
 
             take = jax.vmap(jax.vmap(slice_row, (None, 0)), (0, 0))
             k_sel, v_sel = take(jnp.arange(B), slot_gather)
+        return k_sel, v_sel, sel_slots
 
-        rk = jax.lax.dynamic_update_slice(rk, k_sel[None].astype(rk.dtype),
-                                          (l, 0, 0, 0))
-        rv = jax.lax.dynamic_update_slice(rv, v_sel[None].astype(rv.dtype),
-                                          (l, 0, 0, 0))
-        rslot = jax.lax.dynamic_update_slice(rslot, sel_slots[None],
-                                             (l, 0, 0))
-        ctx = _attend_selected(config, q, k_sel, v_sel, sel_slots, ck, cv, l,
-                               lengths_before, rec0, recent_rows)
-        return ctx, (ck, cv, rk, rv, rslot)
-
-    return impl
+    return select_gather
 
 
-def roundbuf_draft_attn(config: ModelArgs, lengths_before: jax.Array,
-                        rk, rv, rslot, rec0, *, recent_rows: int):
-    """attn_impl for draft steps 2..gamma: attend the round's gathered
-    working set (rk/rv/rslot, built by the round-opening step) plus the live
-    recent window. No gather, no scoring — the draft's HBM traffic is the
-    O(budget) buffer read only."""
+def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
+                              buffer0, output, gen_counts, eot, gamma: int,
+                              max_new_tokens: int, make_select_gather, *,
+                              NS: int, keep: int, mesh=None):
+    """Shared fused generation loop for the round-buffer engines.
+    make_select_gather(tail_base) -> select_gather_fn (tail_base enters the
+    selection exclusion / dedup)."""
+    from magicdec_tpu.engine import attention_impls as impls
+    from magicdec_tpu.engine.spec import _accept_and_update
 
-    def impl(q, k, v, caches, l):
-        ck, cv = caches
-        B, T = q.shape[:2]
-        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q = rope(config, q, positions)
-        k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
-        ctx = _attend_selected(config, q, rk[l], rv[l], rslot[l], ck, cv, l,
-                               lengths_before, rec0, recent_rows)
-        return ctx, (ck, cv)
+    max_len = cache.k.shape[2]
+    # slack >> one round's appends: the compaction gather then amortizes
+    # over ~8 rounds instead of firing every round
+    Wcap = keep + 8 * (gamma + 2)
+    trigger = Wcap - (gamma + 2)
+    bufk, bufv, colmask, tail_len, tail_base = init_tail(cache, NS, Wcap,
+                                                         keep)
 
-    return impl
+    def cond(state):
+        cache, gen_counts, terminal = state[0], state[7], state[9]
+        return (~terminal
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
 
+    def body(state):
+        (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
+         rounds, terminal, accepted, buffer0) = state
+        bufk, bufv, tail_len, tail_base = tail_compact(
+            bufk, bufv, tail_len, tail_base, NS=NS, keep=keep,
+            trigger=trigger)
+        lenT0, tlen0 = cache.lengths, tail_len
+        select_gather_fn = make_select_gather(tail_base)
+        ck, cv, bufk, bufv, colmask, buffer = roundtail_draft_loop(
+            params, config, cache.k, cache.v, bufk, bufv, colmask, tail_len,
+            tail_base, lenT0, buffer0, select_gather_fn, gamma=gamma, NS=NS,
+            mesh=mesh)
 
-def clustered_draft_loop(params, config: ModelArgs, ck, cv, lenT0, buffer0,
-                         select_fn, cluster_slots, kv_store, *, gamma: int,
-                         nprobe: int, cap: int, recent: int, mesh=None):
-    """The gamma-step clustered draft loop shared by the RetroInfer and
-    SqueezedAttention engines: one select+gather step, then gamma-1 steps
-    over the round buffer. Returns (ck, cv, buffer [B, gamma+1])."""
-    L, B = ck.shape[0], ck.shape[1]
-    HD = ck.shape[3]
-    NS = nprobe * cap
-    rk = jnp.zeros((L, B, NS, HD), ck.dtype)
-    rv = jnp.zeros((L, B, NS, HD), cv.dtype)
-    rslot = jnp.full((L, B, NS), -1, jnp.int32)
+        # verify: full target attention, dual-writing the tail region at the
+        # round-start offset (the SnapKV dual-cache discipline)
+        impl = impls.verify_dual_attn(config, lenT0, NS + tlen0, mesh=mesh)
+        logits, (ck, cv, bufk, bufv) = llama.forward(
+            params, config, buffer, impl, (ck, cv, bufk, bufv))
+        target_tokens = argmax_tokens(logits)
+        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
+            buffer, target_tokens, eot, gamma, output, gen_counts)
+        cache = KVCache(ck, cv, lenT0 + accept)
+        tail_len = tlen0 + accept
+        return (cache, bufk, bufv, colmask, tail_len, tail_base, output,
+                gen_counts, rounds + 1, terminal | term, accepted + acc,
+                bonus)
 
-    # round-fixed recent window: spans the last `recent` prefix rows plus
-    # every slot this round's draft steps will append (gamma tokens)
-    recent_rows = recent + gamma
-    rec0 = jnp.maximum(lenT0 + 1 - recent, 0)
-    lens, tok = lenT0, buffer0
-    impl = retro_select_gather_attn(config, lens, select_fn, cluster_slots,
-                                    kv_store, rec0, nprobe=nprobe,
-                                    recent_rows=recent_rows, mesh=mesh)
-    logits, (ck, cv, rk, rv, rslot) = llama.forward(
-        params, config, tok, impl, (ck, cv, rk, rv, rslot), last_only=True)
-    tok = argmax_tokens(logits)
-    lens = lens + 1
-    drafted = [tok]
-    for _ in range(gamma - 1):
-        impl = roundbuf_draft_attn(config, lens, rk, rv, rslot, rec0,
-                                   recent_rows=recent_rows)
-        logits, (ck, cv) = llama.forward(params, config, tok, impl, (ck, cv),
-                                         last_only=True)
-        tok = argmax_tokens(logits)
-        lens = lens + 1
-        drafted.append(tok)
-    return ck, cv, jnp.concatenate([buffer0] + drafted, axis=1)
+    state = (cache, bufk, bufv, colmask, tail_len, tail_base, output,
+             gen_counts, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+             buffer0)
+    state = jax.lax.while_loop(cond, body, state)
+    (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
+     rounds, terminal, accepted, buffer0) = state
+    B, capo = output.shape
+    idx = jnp.minimum(gen_counts, capo - 1)
+    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
+    return cache, output, gen_counts + 1, rounds, accepted
 
 
 @functools.partial(
@@ -311,54 +445,24 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          max_new_tokens: int, n_clusters: int, cap: int,
                          nprobe: int, recent: int, mesh=None):
     """Full RetroInfer-style self-spec generation in one while_loop. The
-    cluster index is built once from the prefill cache; fresh tokens are
-    covered by the forced recent window (the reference similarly rebuilds
-    its wave index only at prefill). Cluster selection+gather runs once per
-    ROUND (the gather is DMA-descriptor-bound); steps 2..gamma attend the
-    round buffer."""
-    from magicdec_tpu.engine import attention_impls as impls
-    from magicdec_tpu.engine.spec import _accept_and_update
-
-    max_len = cache.k.shape[2]
+    cluster index is built once from the prefill cache; fresh tokens live in
+    the rolling tail window (`recent` rows). Cluster selection+gather runs
+    once per ROUND (the gather is DMA-descriptor-bound); every draft step
+    attends [gathered clusters | tail] through the flash kernel."""
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
     kv_store = (build_clustered_store(cache, cluster_slots, cap)
                 if jax.default_backend() == "tpu" else None)
 
-    def cond(state):
-        cache, gen_counts, terminal = state[0], state[3], state[6]
-        return (~terminal
-                & (jnp.min(gen_counts) < max_new_tokens)
-                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+    def make_select_gather(tail_base):
+        return retro_select_gather_fn(config, centroids, cluster_slots,
+                                      kv_store, tail_base, nprobe=nprobe,
+                                      mesh=mesh)
 
-    def body(state):
-        cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
-        lenT0 = cache.lengths
-        select_fn = retro_select_fn(config, centroids, nprobe=nprobe,
-                                    mesh=mesh)
-        ck, cv, buffer = clustered_draft_loop(
-            params, config, cache.k, cache.v, lenT0, buffer0, select_fn,
-            cluster_slots, kv_store, gamma=gamma, nprobe=nprobe, cap=cap,
-            recent=recent, mesh=mesh)
-
-        impl = impls.target_attn(config, lenT0, mesh=mesh)
-        logits, (ck, cv) = llama.forward(params, config, buffer, impl,
-                                         (ck, cv))
-        target_tokens = argmax_tokens(logits)
-        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
-            buffer, target_tokens, eot, gamma, output, gen_counts)
-        cache = KVCache(ck, cv, lenT0 + accept)
-        return (cache, bonus, output, gen_counts, rounds + 1, accepted + acc,
-                terminal | term)
-
-    state = (cache, buffer0, output, gen_counts, jnp.int32(0), jnp.int32(0),
-             jnp.bool_(False))
-    state = jax.lax.while_loop(cond, body, state)
-    cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
-    B, capo = output.shape
-    idx = jnp.minimum(gen_counts, capo - 1)
-    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
-    return cache, output, gen_counts + 1, rounds, accepted
+    return _roundtail_generate_fused(
+        params, config, cache, buffer0, output, gen_counts, eot, gamma,
+        max_new_tokens, make_select_gather, NS=nprobe * cap, keep=recent,
+        mesh=mesh)
 
 
 

@@ -29,10 +29,7 @@ import jax.numpy as jnp
 
 from magicdec_tpu.cache import KVCache
 from magicdec_tpu.engine.retro import (build_cluster_index,
-                                       build_clustered_store,
-                                       clustered_draft_loop)
-from magicdec_tpu.engine.sampling import argmax_tokens
-from magicdec_tpu.models import llama
+                                       build_clustered_store)
 from magicdec_tpu.models.config import ModelArgs
 
 NEG_INF = -1e30
@@ -67,7 +64,7 @@ def squeeze_select(config: ModelArgs, q, cent_l, counts_l, *,
 
 def squeeze_select_fn(config: ModelArgs, centroids, counts, *,
                       max_clusters: int, threshold: float):
-    """select_fn adapter for retro.clustered_draft_loop."""
+    """select_fn adapter for retro's round-buffer draft machinery."""
     def select(q, l):
         return squeeze_select(config, q, centroids[l], counts[l],
                               max_clusters=max_clusters, threshold=threshold)
@@ -84,11 +81,12 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                            max_new_tokens: int, n_clusters: int, cap: int,
                            max_clusters: int, threshold: float, recent: int,
                            mesh=None):
-    """Full SqueezedAttention-style self-spec generation (one while_loop)."""
-    from magicdec_tpu.engine import attention_impls as impls
-    from magicdec_tpu.engine.spec import _accept_and_update
+    """Full SqueezedAttention-style self-spec generation (one while_loop):
+    the retro round-buffer + tail machinery with the mass-threshold
+    selection rule plugged in as select_fn."""
+    from magicdec_tpu.engine.retro import (_roundtail_generate_fused,
+                                           retro_select_gather_fn)
 
-    max_len = cache.k.shape[2]
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
     counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.float32)
@@ -98,35 +96,13 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                                   max_clusters=max_clusters,
                                   threshold=threshold)
 
-    def cond(state):
-        cache, gen_counts, terminal = state[0], state[3], state[6]
-        return (~terminal
-                & (jnp.min(gen_counts) < max_new_tokens)
-                & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
+    def make_select_gather(tail_base):
+        return retro_select_gather_fn(config, centroids, cluster_slots,
+                                      kv_store, tail_base,
+                                      nprobe=max_clusters, mesh=mesh,
+                                      select_fn=select_fn)
 
-    def body(state):
-        cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
-        lenT0 = cache.lengths
-        ck, cv, buffer = clustered_draft_loop(
-            params, config, cache.k, cache.v, lenT0, buffer0, select_fn,
-            cluster_slots, kv_store, gamma=gamma, nprobe=max_clusters,
-            cap=cap, recent=recent, mesh=mesh)
-
-        impl = impls.target_attn(config, lenT0, mesh=mesh)
-        logits, (ck, cv) = llama.forward(params, config, buffer, impl,
-                                         (ck, cv))
-        target_tokens = argmax_tokens(logits)
-        accept, bonus, output, gen_counts, term, acc = _accept_and_update(
-            buffer, target_tokens, eot, gamma, output, gen_counts)
-        cache = KVCache(ck, cv, lenT0 + accept)
-        return (cache, bonus, output, gen_counts, rounds + 1, accepted + acc,
-                terminal | term)
-
-    state = (cache, buffer0, output, gen_counts, jnp.int32(0), jnp.int32(0),
-             jnp.bool_(False))
-    state = jax.lax.while_loop(cond, body, state)
-    cache, buffer0, output, gen_counts, rounds, accepted, terminal = state
-    B, capo = output.shape
-    idx = jnp.minimum(gen_counts, capo - 1)
-    output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
-    return cache, output, gen_counts + 1, rounds, accepted
+    return _roundtail_generate_fused(
+        params, config, cache, buffer0, output, gen_counts, eot, gamma,
+        max_new_tokens, make_select_gather, NS=max_clusters * cap,
+        keep=recent, mesh=mesh)

@@ -42,7 +42,7 @@ NEG_INF = -1e30
 
 
 def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
-                acc_scr, *, s_real: int, scale: float):
+                acc_scr, *, s_real: int, scale: float, cm_blk=None):
     """One S-block online-softmax update for sub-batch element bi.
 
     a/lo/hi [M,1] int32 interval bounds (mask = col<a or lo<=col<hi), qd
@@ -50,6 +50,11 @@ def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
     kernels process b_block batch elements per grid cell to amortize
     per-cell grid overhead — decisive when S is small and the grid would
     otherwise be B x 1 tiny cells).
+
+    cm_blk [S_BLK] int32 (optional): per-COLUMN validity bits ANDed into the
+    interval mask — the round-buffer draft caches of the quest/retro/squeeze
+    engines have pad/dedup holes in their gathered region that no interval
+    pair can express.
 
     s_real is the true (unpadded) S: a partial final block reads undefined
     memory, and although masked columns get probability exactly 0, IEEE
@@ -70,6 +75,8 @@ def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
 
     col = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (M, S_BLK), 1)
     mask = (col < a) | ((col >= lo) & (col < hi))        # [M, S_BLK]
+    if cm_blk is not None:
+        mask = mask & (cm_blk > 0)          # cm_blk [1, S_BLK] broadcasts
     row = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (S_BLK, 1), 0)
     v_blk = jnp.where(row < s_real, v_blk, jnp.zeros_like(v_blk))
 
@@ -294,4 +301,86 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
       k_cache, v_cache)
+    return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)
+
+
+# ---------------------------------------------------------------------------
+# Stacked + column-masked variant: the round-buffer draft caches
+# ---------------------------------------------------------------------------
+
+
+def _kernel_stacked_cm(l_ref, a_ref, lo_ref, hi_ref, qd_ref, cm_ref, k_ref,
+                       v_ref, o_ref, m_scr, l_scr, acc_scr, *, s_real: int,
+                       scale: float):
+    for bi in range(qd_ref.shape[0]):
+        _flash_body(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                    k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr, acc_scr,
+                    s_real=s_real, scale=scale, cm_blk=cm_ref[0, bi])
+
+
+@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+def flash_decode_stacked_masked(q, k_cache, v_cache, layer, colmask,
+                                sink_end, lo, hi, *, s_block: int = 512,
+                                interpret: bool = False):
+    """Stacked-cache flash decode with two-interval row bounds AND a
+    per-(layer, b, column) validity mask.
+
+    Serves the quest/retro/squeeze ROUND-BUFFER draft caches: columns
+    [0, NS) hold gathered pages/clusters (pad and window-dedup holes ->
+    colmask bits), columns [NS, R) the incrementally-maintained tail whose
+    causality the (lo, hi) interval expresses. Callers pass
+    sink_end = lo = NS and hi = NS + tail_causal_bound.
+
+    q [B, T, Hq, D]; k_cache/v_cache [L, B, R, Hkv*D]; layer traced scalar;
+    colmask [L, B, 1, R] int32 (nonzero = attendable; the singleton axis
+    keeps TPU block shapes legal); sink_end/lo/hi [B, T].
+    """
+    B, T, Hq, D = q.shape
+    L, _, S, HD = k_cache.shape
+    Hkv = HD // D
+    G = Hq // Hkv
+    qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
+    M = Hkv * TG_pad
+    s_block = _pick_s_block(S, s_block)
+    BB = _pick_b_block(B, s_block, HD)
+    # padded rows: empty sink interval, window [lo, lo+1) keeps their softmax
+    # finite (tail column 0 always has colmask 1)
+    a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv, 0)
+    lo_r = _expand_rows(lo, G, TG, TG_pad, Hkv, 0)
+    hi_r = _expand_rows(hi, G, TG, TG_pad, Hkv, 1)
+
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // BB, pl.cdiv(S, s_block)),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1, s_block),
+                         lambda b, s, l_ref: (l_ref[0], b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, s_block, HD),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, s_block, HD),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, 1), jnp.float32),
+            pltpu.VMEM((BB, M, HD), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked_cm, s_real=S, scale=D ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, HD), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
+      jnp.asarray(colmask, jnp.int32), k_cache, v_cache)
     return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)

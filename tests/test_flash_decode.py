@@ -115,3 +115,48 @@ def test_page_gather_matches_slices():
                 np.testing.assert_array_equal(
                     np.asarray(vs[b, j]),
                     np.asarray(v[l, b, p * page:(p + 1) * page]))
+
+
+@pytest.mark.parametrize("S,NS,T", [(256, 128, 1), (264, 96, 2)])
+def test_flash_stacked_masked_matches_oracle(S, NS, T):
+    """Column-masked variant (round-buffer draft caches): top region
+    [0, NS) gated by per-column bits, tail region causal via [lo, hi)."""
+    k, v = _mk(S, seed=11)
+    q = jax.random.normal(jax.random.PRNGKey(12), (B, T, Hq, D), jnp.float32)
+    key = jax.random.PRNGKey(13)
+    colmask = jax.random.bernoulli(key, 0.7, (L, B, 1, S)).astype(jnp.int32)
+    colmask = colmask.at[:, :, :, NS:].set(1)     # tail bits always 1
+    tail_len = jnp.asarray([40, 3, S - NS - T - 1, 17][:B], jnp.int32)
+    ns = jnp.full((B, T), NS, jnp.int32)
+    hi = NS + tail_len[:, None] + jnp.arange(1, T + 1, dtype=jnp.int32)[None, :]
+
+    col = jnp.arange(S, dtype=jnp.int32)
+    for l in range(L):
+        mask = ((col[None, None, :] < NS) & (colmask[l][:, 0, :][:, None, :] > 0)
+                | ((col[None, None, :] >= NS)
+                   & (col[None, None, :] < hi[:, :, None])))
+        ref = dense.masked_attention_general(
+            q, k[l].reshape(B, S, Hkv, D), v[l].reshape(B, S, Hkv, D), mask)
+        out = fd.flash_decode_stacked_masked(q, k, v, jnp.int32(l), colmask,
+                                             ns, ns, hi, s_block=128,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_page_gather_single_kv_fused():
+    from magicdec_tpu.ops.pallas.page_gather import page_gather_single
+
+    L2, B2, R2, HD2, page = 2, 3, 512, 128, 64
+    key = jax.random.PRNGKey(0)
+    store = jax.random.normal(key, (L2, B2, R2, HD2), jnp.float32)
+    ids = jnp.asarray([[0, 7], [3, 3], [5, 1]], jnp.int32)
+    for l in (0, 1):
+        out = page_gather_single(store, jnp.int32(l), ids, page=page,
+                                 interpret=True)
+        for b in range(B2):
+            for j in range(2):
+                p = int(ids[b, j])
+                np.testing.assert_array_equal(
+                    np.asarray(out[b, j]),
+                    np.asarray(store[l, b, p * page:(p + 1) * page]))
