@@ -273,6 +273,57 @@ def convert_longbench_v1_dataset(task: str, seq_len: int, tokenizer=None,
     return out.astype(np.int32)
 
 
+def convert_longbench_v2_dataset(seq_len: int, tokenizer=None,
+                                 jsonl_path: str | None = None,
+                                 summary: bool = False,
+                                 limit: int = 50) -> np.ndarray:
+    """LongBench-v2 instruction jsonl -> fixed-length token blocks.
+
+    Reference Data/data_converter.py:124-170 (convert_longbench_v2_dataset /
+    convert_longbench_v2_sum_dataset): read the preprocessed jsonl
+    (data.longbench.preprocess_longbench_v2 writes it; `summary=True` for
+    the summarization-template variant), tokenize each row's 'instruction',
+    split into FULL seq_len chunks (remainder dropped) and force BOS at
+    every chunk start. `jsonl_path` + `tokenizer` make it hermetic for
+    tests; without them the jsonl is built from HF (network required)."""
+    import json
+    import os
+
+    if jsonl_path is None:
+        from magicdec_tpu.data import longbench
+        tag = "longbench_v2_sum.jsonl" if summary else "longbench_v2.jsonl"
+        jsonl_path = os.path.join(os.path.dirname(__file__), tag)
+        if not os.path.exists(jsonl_path):
+            _require_hf("convert_longbench_v2_dataset")
+            if summary:
+                longbench.preprocess_longbench_v2_summary(jsonl_path,
+                                                          limit=limit)
+            else:
+                longbench.preprocess_longbench_v2(jsonl_path, limit=limit)
+    tok = tokenizer or _default_tokenizer()
+    rows = [json.loads(line) for line in open(jsonl_path)][:limit]
+    chunks = []
+    for row in rows:
+        text = row.get("instruction") or row["prompt"]
+        ids = np.asarray(tok(text).input_ids, np.int64)
+        n_full = len(ids) // seq_len
+        for c in range(n_full):
+            blk = ids[c * seq_len:(c + 1) * seq_len].copy()
+            blk[0] = getattr(tok, "bos_token_id", None) or 1
+            chunks.append(blk)
+    if not chunks:
+        return synthetic_dataset(seq_len)
+    return np.stack(chunks).astype(np.int32)
+
+
+def convert_longbench_v2_sum_dataset(seq_len: int, tokenizer=None,
+                                     jsonl_path: str | None = None,
+                                     limit: int = 50) -> np.ndarray:
+    """Summarization-template variant (reference data_converter.py:149-170)."""
+    return convert_longbench_v2_dataset(seq_len, tokenizer, jsonl_path,
+                                        summary=True, limit=limit)
+
+
 def save_tokens(path: str, tokens: np.ndarray):
     np.save(path, tokens.astype(np.int32))
 

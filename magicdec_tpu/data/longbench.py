@@ -74,3 +74,18 @@ def preprocess_longbench_v2(out_jsonl: str, cot: bool = True, limit: int = 0):
             f.write(json.dumps({"prompt": build_prompt_v2(row, cot),
                                 "answer": row.get("answer")}) + "\n")
     return out_jsonl
+
+
+def preprocess_longbench_v2_summary(out_jsonl: str, limit: int = 0):
+    """Summarization-template variant (reference preprocess_longbench.py's
+    *_sum jsonl, consumed by data_converter.py:149-170)."""
+    import json
+
+    import datasets
+    ds = datasets.load_dataset("THUDM/LongBench-v2", split="train")
+    with open(out_jsonl, "w") as f:
+        for i, row in enumerate(ds):
+            if limit and i >= limit:
+                break
+            f.write(json.dumps({"prompt": build_prompt_summary(row)}) + "\n")
+    return out_jsonl

@@ -90,8 +90,73 @@ def freq_words_extraction(seq_len: int, num_seqs: int, vocab_size: int = 4096,
     return prompts.astype(np.int32), answers.astype(np.int32)
 
 
+def qa(seq_len: int, num_seqs: int, vocab_size: int = 4096,
+       num_docs: int = 8, answer_len: int = 4, seed: int = 0):
+    """Multi-document QA (reference Data/Ruler/synthetic/qa.py): the context
+    is `num_docs` documents, each carrying its own (key, value) fact; the
+    query names ONE document's key and the answer is that document's value —
+    retrieval among distractor facts, the squad/hotpotqa structure at token
+    level."""
+    rng = np.random.default_rng(seed)
+    prompts = np.empty((num_seqs, seq_len), np.int64)
+    answers = np.empty((num_seqs, answer_len), np.int64)
+    doc_len = (seq_len - answer_len - 4) // num_docs
+    for i in range(num_seqs):
+        hay = rng.integers(16, vocab_size, seq_len)
+        keys = rng.choice(np.arange(16, vocab_size), (num_docs, answer_len),
+                          replace=False).reshape(num_docs, answer_len)
+        vals = rng.integers(16, vocab_size, (num_docs, answer_len))
+        for d in range(num_docs):
+            p = 1 + d * doc_len          # fact at each document's head
+            hay[p] = _SEP
+            hay[p + 1:p + 1 + answer_len] = keys[d]
+            hay[p + 1 + answer_len] = _SEP
+            hay[p + 2 + answer_len:p + 2 + 2 * answer_len] = vals[d]
+        target = rng.integers(0, num_docs)
+        hay[-(answer_len + 2)] = _QUERY
+        hay[-(answer_len + 1):-1] = keys[target]
+        hay[-1] = _SEP
+        hay[0] = _BOS
+        prompts[i] = hay
+        answers[i] = vals[target]
+    return prompts.astype(np.int32), answers.astype(np.int32)
+
+
+def common_words_extraction(seq_len: int, num_seqs: int,
+                            vocab_size: int = 4096, num_cw: int = 10,
+                            freq_cw: int = 30, freq_ucw: int = 3,
+                            seed: int = 0):
+    """Common-words extraction (reference common_words_extraction.py:
+    -freq_cw 30 --freq_ucw 3 --num_cw 10): the context is a shuffled list in
+    which `num_cw` words appear freq_cw times each and the rest freq_ucw
+    times; the answer is the common words (canonical sorted order — the
+    reference lists them in sample order, equivalent up to permutation)."""
+    rng = np.random.default_rng(seed)
+    prompts = np.empty((num_seqs, seq_len), np.int64)
+    answers = np.empty((num_seqs, num_cw), np.int64)
+    body = seq_len - 3
+    num_ucw = max((body - num_cw * freq_cw) // freq_ucw, 1)
+    for i in range(num_seqs):
+        words = rng.choice(np.arange(16, vocab_size), num_cw + num_ucw,
+                           replace=False)
+        common, uncommon = words[:num_cw], words[num_cw:]
+        wlist = np.concatenate([np.repeat(common, freq_cw),
+                                np.repeat(uncommon, freq_ucw)])
+        rng.shuffle(wlist)
+        hay = np.empty(seq_len, np.int64)
+        hay[0] = _BOS
+        fill = np.resize(wlist, body)
+        hay[1:1 + body] = fill
+        hay[-2] = _QUERY
+        hay[-1] = _SEP
+        prompts[i] = hay
+        answers[i] = np.sort(common)
+    return prompts.astype(np.int32), answers.astype(np.int32)
+
+
 TASKS = {"niah": niah, "variable_tracking": variable_tracking,
-         "freq_words_extraction": freq_words_extraction}
+         "freq_words_extraction": freq_words_extraction, "qa": qa,
+         "common_words_extraction": common_words_extraction}
 
 
 def prepare(task: str, seq_len: int, num_seqs: int, **kw):

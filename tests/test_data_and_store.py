@@ -73,3 +73,57 @@ def test_checkpoint_roundtrip_params():
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_ruler_qa_answer_recoverable():
+    prompts, answers = ruler.qa(512, 4, num_docs=6, answer_len=4, seed=3)
+    assert prompts.shape == (4, 512) and answers.shape == (4, 4)
+    for p, a in zip(prompts, answers):
+        s = p.tolist()
+        # the queried key appears twice (in its document and in the query)
+        # and its document's value follows the in-document occurrence
+        key = s[-5:-1]
+        joined = ",".join(map(str, s))
+        assert joined.count(",".join(map(str, key))) >= 2
+        assert ",".join(map(str, a.tolist())) in joined
+
+
+def test_ruler_common_words_extraction_frequencies():
+    prompts, answers = ruler.common_words_extraction(
+        1024, 3, num_cw=5, freq_cw=30, freq_ucw=3, seed=1)
+    assert answers.shape == (3, 5)
+    for p, a in zip(prompts, answers):
+        body = p[1:-2]
+        counts = np.bincount(body, minlength=4096)
+        # every answer token is strictly more frequent than every
+        # non-answer token in the list
+        amin = min(counts[t] for t in a)
+        others = np.asarray([c for t, c in enumerate(counts)
+                             if c > 0 and t not in set(a.tolist())])
+        assert amin > others.max()
+        assert np.array_equal(np.sort(a), a)   # canonical order
+
+
+def test_convert_longbench_v2_dataset_hermetic(tmp_path):
+    import json
+
+    class StubTok:
+        bos_token_id = 1
+
+        def __call__(self, text):
+            class R:
+                input_ids = [7] * (17 + len(text) % 5)
+            return R()
+
+    rows = [{"instruction": "x" * 40}, {"prompt": "y" * 10}]
+    p = tmp_path / "lb2.jsonl"
+    p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    out = converters.convert_longbench_v2_dataset(
+        8, tokenizer=StubTok(), jsonl_path=str(p))
+    assert out.shape[1] == 8 and out.shape[0] >= 2
+    assert (out[:, 0] == 1).all()      # forced BOS at every chunk start
+
+
+def test_downloader_importable():
+    from magicdec_tpu.checkpoint.download import hf_download
+    assert callable(hf_download)
