@@ -59,12 +59,29 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_stacked(q, ck, cv, l, valid, mesh):
+def _flash_stacked(q, ck, cv, l, valid, mesh, s_cap=None, s_block=512):
     """flash_decode_stacked, shard_mapped when the mesh spans >1 device."""
     if mesh is None or mesh.devices.size == 1:
-        return flash_decode_stacked(q, ck, cv, l, valid, interpret=_interp())
+        return flash_decode_stacked(q, ck, cv, l, valid, interpret=_interp(),
+                                    s_cap=s_cap, s_block=s_block)
     fn = jax.shard_map(
-        functools.partial(flash_decode_stacked, interpret=_interp()),
+        functools.partial(flash_decode_stacked, interpret=_interp(),
+                          s_cap=s_cap, s_block=s_block),
+        mesh=mesh,
+        in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
+                  P(None, "dp", None, "tp"), P(), P("dp", None)),
+        out_specs=P("dp", None, "tp", None), check_vma=False)
+    return fn(q, ck, cv, l, valid)
+
+
+def _flash_prefill_dispatch(q, ck, cv, l, valid, mesh, s_cap=None):
+    """flash_prefill (h-grouped chunk attention), shard_mapped when needed."""
+    from magicdec_tpu.ops.pallas.flash_decode import flash_prefill
+    if mesh is None or mesh.devices.size == 1:
+        return flash_prefill(q, ck, cv, l, valid, interpret=_interp(),
+                             s_cap=s_cap)
+    fn = jax.shard_map(
+        functools.partial(flash_prefill, interpret=_interp(), s_cap=s_cap),
         mesh=mesh,
         in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
                   P(None, "dp", None, "tp"), P(), P("dp", None)),
@@ -109,20 +126,34 @@ def _use_flash(config: ModelArgs, T: int) -> bool:
     return jax.default_backend() == "tpu" and tg <= _FLASH_MAX_TG
 
 
+def _use_flash_prefill(config: ModelArgs, T: int) -> bool:
+    """Prefill-sized queries (T >= 8): flash with T sub-blocking on TPU."""
+    if _ATTEND_MODE == "dense":
+        return False
+    return (_ATTEND_MODE == "flash" or jax.default_backend() == "tpu") \
+        and T >= 8
+
+
 def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
                     cap: int | None = None, mesh=None):
     """Ragged prefix attention against stacked caches, kernel-dispatched.
 
-    `cap` bounds the attended slots on the DENSE path only (the flash kernel
-    would materialize a sliced copy of the whole stacked cache as its
-    operand; its masking already skips compute past the bounds)."""
+    `cap` bounds the attended slots: the flash kernels' s_cap stops their
+    S-grid at the causal bucket (no fetch past it); the dense path slices
+    the layer instead. Decode/verify queries (small T) go through the
+    block-diagonal decode kernel; prefill chunks (T >= 8) through the
+    h-grouped flash_prefill kernel (K/V for the whole chunk are appended
+    before any row attends, so per-row causal bounds suffice)."""
     if attend is not None:
         k_l, v_l = ck[l], cv[l]
         if cap is not None and cap < k_l.shape[1]:
             k_l, v_l = k_l[:, :cap], v_l[:, :cap]
         return attend(q, _unpack(k_l, config), _unpack(v_l, config), valid)
-    if _use_flash(config, q.shape[1]):
+    T = q.shape[1]
+    if _use_flash(config, T):
         return _flash_stacked(q, ck, cv, l, valid, mesh)
+    if _use_flash_prefill(config, T):
+        return _flash_prefill_dispatch(q, ck, cv, l, valid, mesh, s_cap=cap)
     k_l, v_l = ck[l], cv[l]
     if cap is not None and cap < k_l.shape[1]:
         k_l, v_l = k_l[:, :cap], v_l[:, :cap]
@@ -304,12 +335,16 @@ def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
         ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
         cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         valid = dense.decode_valid_upto(lengths_before, T)
+        # the chunk attention MUST take the same kernel path as the plain
+        # prefill chunks (prefill_chunk_step -> target_attn): the AR baseline
+        # and every engine must produce bit-identical prefill states or
+        # their greedy streams diverge from token 0
+        ctx = _attend_stacked(config, q, ck, cv, l, valid, attend, cap=cap,
+                              mesh=mesh)
         k_l, v_l = ck[l], cv[l]
         if cap is not None and cap < k_l.shape[1]:
             k_l, v_l = k_l[:, :cap], v_l[:, :cap]
         cku, cvu = _unpack(k_l, config), _unpack(v_l, config)
-        att = attend or dense.masked_attention
-        ctx = att(q, cku, cvu, valid)
 
         scores = snapkv_ops.snapkv_scores(q, cku, context_len, window)
         sel_k, sel_v = snapkv_ops.snapkv_select(scores, cku, cvu, context_len,

@@ -42,7 +42,8 @@ NEG_INF = -1e30
 
 
 def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
-                acc_scr, *, s_real: int, scale: float, cm_blk=None):
+                acc_scr, *, s_real: int, scale: float, cm_blk=None,
+                s_axis: int = 1, o_idx=None):
     """One S-block online-softmax update for sub-batch element bi.
 
     a/lo/hi [M,1] int32 interval bounds (mask = col<a or lo<=col<hi), qd
@@ -62,8 +63,8 @@ def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
     zeroed (K needs no cleanup: garbage logits are where()-masked to -inf
     before they reach max/exp, since the bounds never exceed s_real).
     """
-    sblk = pl.program_id(1)
-    n_sblk = pl.num_programs(1)
+    sblk = pl.program_id(s_axis)
+    n_sblk = pl.num_programs(s_axis)
     S_BLK = k_blk.shape[0]
     M = qd.shape[0]
 
@@ -96,7 +97,8 @@ def _flash_body(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
 
     @pl.when(sblk == n_sblk - 1)
     def _finish():
-        o_ref[bi] = (acc_scr[bi] / l_scr[bi]).astype(o_ref.dtype)
+        idx = (bi,) if o_idx is None else o_idx
+        o_ref[idx] = (acc_scr[bi] / l_scr[bi]).astype(o_ref.dtype)
 
 
 def _kernel(a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, o_ref,
@@ -129,10 +131,14 @@ def _pick_s_block(S: int, target: int) -> int:
 
 
 def _pick_b_block(B: int, s_block: int, HD: int, itemsize: int = 2,
-                  vmem_budget: int = 8 * 1024 * 1024) -> int:
+                  vmem_budget: int = 8 * 1024 * 1024, M: int = 0) -> int:
     """Sub-batch per grid cell: as many b as keep the double-buffered K+V
-    blocks within the VMEM budget, and dividing B evenly."""
+    blocks (plus, for prefill-sized M, the q/out/accumulator buffers) within
+    the VMEM budget, and dividing B evenly."""
     per_b = s_block * HD * itemsize * 4          # k+v, double-buffered
+    # qd + out (bf16) + f32 acc scratch; negligible at decode M but decisive
+    # for prefill chunks (M = Hkv * T * G reaches thousands of rows)
+    per_b += M * HD * (2 * itemsize + 4)
     b = max(1, min(16, vmem_budget // max(per_b, 1)))
     while B % b:
         b -= 1
@@ -252,11 +258,21 @@ def flash_decode_attend(q, k, v, valid_upto, *, interpret: bool = False):
 # index_map picks blocks straight out of the stacked array.
 
 
-@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("s_block", "interpret", "s_cap"))
 def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
-                         s_block: int = 512, interpret: bool = False):
+                         s_block: int = 512, interpret: bool = False,
+                         s_cap: int | None = None):
     """As flash_decode, but k_cache/v_cache are stacked [L, B, S, Hkv*D] and
-    `layer` (traced int32 scalar) selects the layer without a copy."""
+    `layer` (traced int32 scalar) selects the layer without a copy.
+
+    s_cap (static) bounds the attended slot range: the S-grid walks only the
+    blocks below the cap, so chunked-prefill callers neither fetch nor
+    compute over the whole max_len cache (callers guarantee
+    valid_upto <= s_cap). Serves prefill chunks too (T=128): the same
+    online-softmax body, with the VMEM-aware sub-batch shrinking to fit the
+    chunk-sized q/acc buffers.
+    """
     B, T, Hq, D = q.shape
     L, _, S, HD = k_cache.shape
     Hkv = HD // D
@@ -264,7 +280,8 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
     M = Hkv * TG_pad
     s_block = _pick_s_block(S, s_block)
-    BB = _pick_b_block(B, s_block, HD)
+    BB = _pick_b_block(B, s_block, HD, M=M)
+    s_extent = S if s_cap is None else min(max(s_cap, s_block), S)
     zero = jnp.zeros_like(valid_upto)
     a_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
     lo_r = _expand_rows(zero, G, TG, TG_pad, Hkv, 0)
@@ -274,7 +291,7 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B // BB, pl.cdiv(S, s_block)),
+        grid=(B // BB, pl.cdiv(s_extent, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
             pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
@@ -302,6 +319,126 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
       k_cache, v_cache)
     return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)
+
+
+# ---------------------------------------------------------------------------
+# Prefill kernel: h-grouped flash attention over the packed stacked cache
+# ---------------------------------------------------------------------------
+# The decode kernels embed queries block-diagonally over ALL Hkv heads —
+# right for bandwidth-bound decode (K read once, Hkv x redundant FLOPs
+# irrelevant), wrong for compute-relevant prefill chunks. Here heads are
+# processed in GROUPS of 2 KV heads: the block-diagonal embedding within a
+# group gives contraction depth 2*D = 128 (the MXU's full systolic depth)
+# at only 2x FLOP redundancy, the K/V BlockSpec column-blocks the packed
+# cache so each group's columns are read exactly once, and the whole
+# 128-token chunk rides one q-block (no VMEM blowup: the group's q is
+# [hg*T*G, 128]).
+
+
+def _kernel_prefill(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref,
+                    o_ref, m_scr, l_scr, acc_scr, *, s_real: int,
+                    scale: float):
+    """Grid (B//BB, n_groups, n_s): qd_ref [BB, 1, Mg, HDg], k/v
+    [1, BB, s_block, HDg] (columns of group g), rows [BB, Mg, 1] shared
+    across groups."""
+    del l_ref
+    for bi in range(qd_ref.shape[0]):
+        _flash_body(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi, 0],
+                    k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr, acc_scr,
+                    s_real=s_real, scale=scale, s_axis=2, o_idx=(bi, 0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s_block", "interpret", "s_cap",
+                                    "hg_size"))
+def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
+                  s_block: int = 512, interpret: bool = False,
+                  s_cap: int | None = None, hg_size: int = 2):
+    """Chunked-prefill flash attention over the stacked packed cache.
+
+    q [B, T, Hq, D] (T = the prefill chunk, rotated), k_cache/v_cache
+    [L, B, S, Hkv*D], layer a traced scalar, valid_upto [B, T] causal
+    bounds, s_cap the static power-of-2 attention bound (the S-grid stops
+    there). Replaces the reference's flashinfer paged prefill
+    (Engine/SnapKV/backend.py:55). ~3x over XLA's dense masked attention at
+    B=128/T=128/S=2048 on v5e (which materializes [B, Hq, T, S] logits).
+    """
+    B, T, Hq, D = q.shape
+    L, _, S, HD = k_cache.shape
+    Hkv = HD // D
+    G = Hq // Hkv
+    hg = min(hg_size, Hkv)
+    ngroups = Hkv // hg
+    TG = T * G
+    TG_pad = _round_up(max(TG, 8), 8)
+    Mg = hg * TG_pad
+    HDg = hg * D
+
+    # per-group block-diagonal embedding: row (h_in_group, t, g) carries
+    # q[t, group*hg*G + h_in_group*G + g] in columns h_in_group*D..(+D)
+    q_r = q.reshape(B, T, ngroups, hg, G, D).transpose(0, 2, 3, 1, 4, 5)
+    q_r = q_r.reshape(B, ngroups, hg, TG, D)
+    if TG_pad != TG:
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, 0), (0, TG_pad - TG),
+                            (0, 0)))
+    eye = jnp.eye(hg, dtype=q.dtype)
+    qd = jnp.einsum("bnhtd,hj->bnhtjd", q_r, eye)
+    qd = qd.reshape(B, ngroups, Mg, HDg)
+
+    s_block = _pick_s_block(S, s_block)
+    s_extent = S if s_cap is None else min(max(s_cap, s_block), S)
+    # VMEM per cell ~ BB*(qd + out + f32 acc + 2x double-buffered K/V cols
+    # + the three [Mg, 1] bound-row operands, which pad to 128 lanes)
+    per_b = (s_block * HDg * 2 * 4) + Mg * HDg * (2 * 2 + 4) \
+        + 3 * Mg * 128 * 4 * 2
+    BB = max(1, min(16, (8 * 1024 * 1024) // per_b))
+    while B % BB:
+        BB -= 1
+
+    zero = jnp.zeros_like(valid_upto)
+    a_r = _expand_rows(zero, G, TG, TG_pad, hg, 0)
+    lo_r = _expand_rows(zero, G, TG, TG_pad, hg, 0)
+    hi_r = _expand_rows(valid_upto, G, TG, TG_pad, hg, 1)
+
+    row_spec = pl.BlockSpec((BB, Mg, 1), lambda b, g, s, l_ref: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // BB, ngroups, pl.cdiv(s_extent, s_block)),
+        in_specs=[
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((BB, 1, Mg, HDg),
+                         lambda b, g, s, l_ref: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, s_block, HDg),
+                         lambda b, g, s, l_ref: (l_ref[0], b, s, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, s_block, HDg),
+                         lambda b, g, s, l_ref: (l_ref[0], b, s, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, 1, Mg, HDg),
+                               lambda b, g, s, l_ref: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BB, Mg, 1), jnp.float32),
+            pltpu.VMEM((BB, Mg, 1), jnp.float32),
+            pltpu.VMEM((BB, Mg, HDg), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_prefill, s_real=S, scale=D ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, ngroups, Mg, HDg), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
+      k_cache, v_cache)
+    # extract: [B, n, Mg, HDg] -> [B, n, hg, TG_pad, hg, D] -> diag over hg
+    out = out.reshape(B, ngroups, hg, TG_pad, hg, D)
+    out = jnp.einsum("bnhtjd,hj->bnhtd", out, eye.astype(out.dtype))
+    out = out[:, :, :, :TG].reshape(B, ngroups, hg, T, G, D)
+    out = out.transpose(0, 3, 1, 2, 4, 5).reshape(B, T, Hq, D)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,20 @@ def test_page_gather_single_kv_fused():
                 np.testing.assert_array_equal(
                     np.asarray(out[b, j]),
                     np.asarray(store[l, b, p * page:(p + 1) * page]))
+
+
+@pytest.mark.parametrize("S,T,cap", [(256, 32, 256), (384, 16, 256)])
+def test_flash_prefill_matches_oracle(S, T, cap):
+    """h-grouped prefill kernel == dense oracle under ragged causal bounds
+    (and an s_cap that stops the S-grid early)."""
+    k, v = _mk(S, seed=21)
+    q = jax.random.normal(jax.random.PRNGKey(22), (B, T, Hq, D), jnp.float32)
+    lengths = jnp.asarray([cap - T, 100, 3, cap - T - 5][:B], jnp.int32)
+    valid = dense.decode_valid_upto(lengths, T)
+    for l in range(L):
+        ref = dense.masked_attention(q, k[l].reshape(B, S, Hkv, D),
+                                     v[l].reshape(B, S, Hkv, D), valid)
+        out = fd.flash_prefill(q, k, v, jnp.int32(l), valid, s_block=128,
+                               s_cap=cap, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
