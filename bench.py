@@ -37,19 +37,25 @@ REFERENCE_SPEEDUP = 1.22  # BASELINE.md: Llama-3.1-8B selfspec B=32 P=32000 g=3
 BENCH_MODEL = dict(block_size=8192, vocab_size=4096, n_layer=8, n_head=16,
                    n_kv_head=8, dim=1024, intermediate_size=2816,
                    rope_base=500000.0, tie_word_embeddings=True)
+# the standalone-draft tier (reference longspec: Llama-2-7B + TinyLlama-1.1B,
+# BASELINE.md 1.29-1.91x): ~1/8 the target's params, same corpus
+BENCH_DRAFT = dict(block_size=8192, vocab_size=4096, n_layer=4, n_head=8,
+                   n_kv_head=4, dim=512, intermediate_size=1408,
+                   rope_base=500000.0, tie_word_embeddings=True)
 CACHE_DIR = Path(__file__).resolve().parent / ".bench_cache"
 
 
-def get_bench_model(train_seq: int, steps: int, seed: int):
+def get_bench_model(train_seq: int, steps: int, seed: int,
+                    spec: dict | None = None, tag: str = ""):
     from magicdec_tpu import train as train_lib
     from magicdec_tpu.checkpoint.store import load_params, save_params
     from magicdec_tpu.data.converters import mixed_markov_dataset
     from magicdec_tpu.models import llama
     from magicdec_tpu.models.config import ModelArgs
 
-    config = ModelArgs(**BENCH_MODEL)
+    config = ModelArgs(**(spec or BENCH_MODEL))
     CACHE_DIR.mkdir(exist_ok=True)
-    ckpt = CACHE_DIR / f"bench_model_s{train_seq}_t{steps}_seed{seed}.npz"
+    ckpt = CACHE_DIR / f"bench_model{tag}_s{train_seq}_t{steps}_seed{seed}.npz"
     like = jax.eval_shape(
         lambda k: llama.init_params(k, config, jnp.bfloat16),
         jax.random.PRNGKey(0))
@@ -77,6 +83,11 @@ def main():
     p.add_argument("--spec", default="snapkv",
                    choices=["snapkv", "streaming", "quest", "retro",
                             "squeeze"])
+    p.add_argument("--two_model", action="store_true",
+                   help="standalone-draft SD: a trained 4L/512d draft tier "
+                        "speculates, the target verifies (reference "
+                        "longspec_benchmark; --spec then selects the "
+                        "DRAFT's KV compression, snapkv/streaming only)")
     p.add_argument("--batches", type=int, default=3,
                    help="batches per mode; the first is compile warmup")
     p.add_argument("--quant", default=None, choices=[None, "int8", "int4"],
@@ -112,6 +123,8 @@ def main():
     if args.quant:
         from magicdec_tpu.quant.int8 import quantize_params
         params = quantize_params(params, args.quant)
+    else:
+        quantize_params = None
 
     # held-out evaluation prompts (fresh per-sequence tables, same corpus law)
     batches = [
@@ -135,16 +148,42 @@ def main():
     del engine
     ar_tps = ar_tokens / ar_time
 
-    # --- self-speculation ----------------------------------------------------
-    engine = Engine(config, params, batch_size=args.B, max_len=max_len,
-                    spec=args.spec, draft_budget=args.draft_budget,
-                    window_size=args.window_size, prefill_chunk=128)
+    # --- speculation ---------------------------------------------------------
+    if args.two_model:
+        from magicdec_tpu.engine.longspec import LongSpecEngine
+        assert args.spec in ("snapkv", "streaming") or not args.draft_budget
+        dparams, dconfig = get_bench_model(train_seq=1024,
+                                           steps=args.train_steps,
+                                           seed=args.seed, spec=BENCH_DRAFT,
+                                           tag="_draft")
+        if args.quant:
+            dparams = quantize_params(dparams, args.quant)
+        target = Engine(config, params, batch_size=args.B, max_len=max_len,
+                        prefill_chunk=128)
+        dspec = args.spec if args.draft_budget else None
+        draft = Engine(dconfig, dparams, batch_size=args.B,
+                       max_len=max_len + args.gamma + 8, spec=dspec,
+                       draft_budget=args.draft_budget if dspec else 0,
+                       window_size=args.window_size, prefill_chunk=128)
+        engine = LongSpecEngine(target, draft)
+
+        def run(ids):
+            target.clear_kv()
+            draft.clear_kv()
+            return engine.generate(ids, args.gamma, args.gen_len)
+    else:
+        engine = Engine(config, params, batch_size=args.B, max_len=max_len,
+                        spec=args.spec, draft_budget=args.draft_budget,
+                        window_size=args.window_size, prefill_chunk=128)
+
+        def run(ids):
+            engine.clear_kv()
+            return generate_selfspec(engine, ids, args.gamma, args.gen_len)
+
     sp_tokens = sp_time = 0.0
     acc_rates = []
     for i, ids in enumerate(batches):
-        engine.clear_kv()
-        _, counts, st = generate_selfspec(engine, ids, args.gamma,
-                                          args.gen_len)
+        _, counts, st = run(ids)
         if i > 0:
             # count every token actually generated (rows past gen_len keep
             # producing while stragglers finish — the reference counts all
@@ -156,8 +195,9 @@ def main():
 
     speedup = sp_tps / ar_tps
     result = {
-        "metric": (f"selfspec_speedup_{args.spec}_B{args.B}"
-                   f"_P{args.prefix_len}_g{args.gamma}"
+        "metric": ((f"longspec_speedup_{args.spec}" if args.two_model
+                    else f"selfspec_speedup_{args.spec}") + f"_B{args.B}"
+                   + f"_P{args.prefix_len}_g{args.gamma}"
                    f"_bud{args.draft_budget}"
                    + (f"_{args.quant}" if args.quant else "")),
         "value": round(speedup, 4),

@@ -183,6 +183,7 @@ class Engine:
                  window_size: int = 32, sink_size: int = 16,
                  latest_k: int = 128, draft_headroom: int = 64,
                  prefill_chunk: int = 128, kv_dtype=None, mesh=None,
+                 replicate_tp: bool = False,
                  retro_clusters: int = 0, retro_cap: int = 32,
                  squeeze_threshold: float = 0.01):
         assert spec in (None, "snapkv", "streaming", "quest", "retro",
@@ -215,9 +216,13 @@ class Engine:
 
         c = config
         self.mesh = mesh
+        # replicate_tp: asymmetric-TP draft — weights/caches replicated over
+        # the tp axis (draft TP degree 1, parallel/sharding.py docstring)
+        self.replicate_tp = replicate_tp
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as shard_lib
-            self.params = shard_lib.shard_params(params, mesh, config)
+            self.params = shard_lib.shard_params(params, mesh, config,
+                                                 replicate_tp=replicate_tp)
             # the flash kernels run under jax.shard_map on >1-device meshes
             # (attention is per-KV-head: a dpxtp shard needs no collectives)
             # — see attention_impls._flash_stacked/_flash_intervals.
@@ -230,7 +235,8 @@ class Engine:
                 c.n_kv_head, c.head_dim, kv_dtype)
             if mesh is not None:
                 from magicdec_tpu.parallel import sharding as shard_lib
-                self.draft = shard_lib.shard_cache(self.draft, mesh)
+                self.draft = shard_lib.shard_cache(self.draft, mesh,
+                                                   self.replicate_tp)
 
     def _create_cache(self):
         c = self.config
@@ -238,7 +244,8 @@ class Engine:
                                     c.n_kv_head, c.head_dim, self.kv_dtype)
         if self.mesh is not None:
             from magicdec_tpu.parallel import sharding as shard_lib
-            self.cache = shard_lib.shard_cache(self.cache, self.mesh)
+            self.cache = shard_lib.shard_cache(self.cache, self.mesh,
+                                               self.replicate_tp)
 
     def drop_cache(self):
         """Free the target-cache buffers (recreated at the next encode).

@@ -63,14 +63,21 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
     valid = (slot[None, :] < cache.lengths[:, None]).astype(jnp.float32)
     valid = jnp.broadcast_to(valid[None], (L, B, S))
     cent, assign = kmeans(cache.k, valid, n_clusters)      # [L,B,C,HD], [L,B,S]
+    slots = member_slot_table(assign, valid, n_clusters, cap)
+    return cent, slots
 
-    # per-cluster member slots, capped: rank each slot within its cluster by
-    # slot order, then scatter slot ids into the [C, cap] table
+
+def member_slot_table(assign, valid, n_clusters: int, cap: int):
+    """Per-cluster member slot lists [..., C, cap] (-1 padding) from k-means
+    assignments [..., S]: rank each slot within its cluster by slot order,
+    then scatter slot ids into the table (cap overflow members dropped)."""
+    S = assign.shape[-1]
+    slot = jnp.arange(S, dtype=jnp.int32)
     onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.int32)
-    onehot = onehot * valid.astype(jnp.int32)[..., None]   # [L,B,S,C]
+    onehot = onehot * valid.astype(jnp.int32)[..., None]   # [..., S, C]
     rank = jnp.cumsum(onehot, axis=-2) - 1                 # member index
     member_rank = jnp.take_along_axis(rank, assign[..., None],
-                                      axis=-1)[..., 0]     # [L,B,S]
+                                      axis=-1)[..., 0]     # [..., S]
     is_member = jnp.take_along_axis(onehot, assign[..., None],
                                     axis=-1)[..., 0] > 0
     ok = is_member & (member_rank < cap)
@@ -80,8 +87,10 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
         out = jnp.full((n_clusters * cap,), -1, jnp.int32)
         return out.at[ft].set(slot, mode="drop")
 
-    slots = jax.vmap(jax.vmap(scatter_slots))(flat_target)
-    return cent, slots.reshape(L, B, n_clusters, cap)
+    for _ in range(flat_target.ndim - 1):
+        scatter_slots = jax.vmap(scatter_slots)
+    slots = scatter_slots(flat_target)
+    return slots.reshape(*assign.shape[:-1], n_clusters, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

@@ -1,0 +1,133 @@
+"""Fused int4 dequant-matmul: weight-streaming at nibble bandwidth.
+
+The reference's weight-only quantization dequantizes inside forward
+(Engine/quantize.py:71-87 WeightOnlyInt8Linear) — int8 gets that for free
+from XLA (the int8->bf16 cast fuses into the MXU read), but int4 does NOT:
+XLA materializes the unpacked weight, so storage halves while HBM traffic
+doesn't. This kernel streams the PACKED nibbles into VMEM and unpacks in
+registers, so a decode step's weight traffic is truly K*N/2 bytes.
+
+Layout: nibbles pack OUTPUT-column pairs (n, n + N/2) into one int8 at
+q4[:, n] — unpacking yields two contiguous column blocks (no sublane
+interleave, which Mosaic handles poorly). The kernel writes a split-halves
+output [2, M, N/2] that the wrapper stitches back (one [M, N] copy, tiny at
+decode shapes). Scales are group-wise along K: the K-block walk applies
+each group's [1, N] scale row to its partial product, accumulating in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_int4_cols(w: jax.Array, group_size: int = 128):
+    """Quantize [..., K, N] -> (q4 [..., K, N/2] int8 packing column pairs
+    (n, n+N/2), scales [..., K/g, N] f32)."""
+    wf = w.astype(jnp.float32)
+    K, N = wf.shape[-2:]
+    assert K % group_size == 0 and N % 2 == 0, (K, N, group_size)
+    lead = wf.shape[:-2]
+    grouped = wf.reshape(*lead, K // group_size, group_size, N)
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, K, N)
+    lo = q[..., :, : N // 2]
+    hi = q[..., :, N // 2:]
+    q4 = ((hi.astype(jnp.uint8) & 0xF) << 4
+          | (lo.astype(jnp.uint8) & 0xF)).astype(jnp.int8)
+    return q4, scale.reshape(*lead, K // group_size, N).astype(jnp.float32)
+
+
+def _kernel(x_ref, q4_ref, s_ref, o_ref, acc_lo, acc_hi, *, n_groups: int,
+            group: int, out_dtype):
+    kb = pl.program_id(1)
+    n_kb = pl.num_programs(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    q4 = q4_ref[...]                                    # [K_blk, N_blk] i8
+    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.bfloat16)
+    hi = (q4 >> 4).astype(jnp.bfloat16)
+    x = x_ref[...]                                      # [M, K_blk]
+    for g in range(n_groups):
+        xg = x[:, g * group:(g + 1) * group]
+        sg_lo = s_ref[g, : lo.shape[1]][None, :]        # [1, N_blk]
+        sg_hi = s_ref[g, lo.shape[1]:][None, :]
+        plo = jax.lax.dot_general(
+            xg, lo[g * group:(g + 1) * group], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        phi = jax.lax.dot_general(
+            xg, hi[g * group:(g + 1) * group], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_lo[...] += plo * sg_lo
+        acc_hi[...] += phi * sg_hi
+
+    @pl.when(kb == n_kb - 1)
+    def _finish():
+        o_ref[0] = acc_lo[...].astype(out_dtype)
+        o_ref[1] = acc_hi[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "n_block", "k_block",
+                                    "interpret"))
+def int4_matmul(x: jax.Array, q4: jax.Array, scales: jax.Array, *,
+                group_size: int = 128, n_block: int = 256,
+                k_block: int = 512, interpret: bool = False) -> jax.Array:
+    """x [M, K] @ packed int4 weight -> [M, N].
+
+    q4 [K, N/2] int8 (pack_int4_cols layout), scales [K/g, N] f32.
+    M is the token count (decode: B) — kept whole in VMEM.
+    """
+    M, K = x.shape
+    N2 = q4.shape[1]
+    N = 2 * N2
+    k_block = min(k_block, K)
+    n_block = min(n_block, N2)
+    assert K % k_block == 0 and k_block % group_size == 0
+    n_groups = k_block // group_size
+    gs_per_blk = K // group_size
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_groups=n_groups, group=group_size,
+                          out_dtype=x.dtype),
+        grid=(pl.cdiv(N2, n_block), K // k_block),
+        in_specs=[
+            pl.BlockSpec((M, k_block), lambda n, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_block, n_block), lambda n, kb: (kb, n),
+                         memory_space=pltpu.VMEM),
+            # scale rows for this K block, lo cols then hi cols
+            pl.BlockSpec((n_groups, 2 * n_block),
+                         lambda n, kb: (kb, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, M, n_block), lambda n, kb: (0, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, M, N2), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, n_block), jnp.float32),
+            pltpu.VMEM((M, n_block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, q4, _interleave_scales(scales, N2, n_block))
+    return jnp.concatenate([out[0], out[1]], axis=1)
+
+
+def _interleave_scales(scales: jax.Array, N2: int, n_block: int) -> jax.Array:
+    """[K/g, N] -> [K/g, N] reordered so each n-block's slice holds its lo
+    columns followed by its hi columns: block j covers output columns
+    [j*n_block, (j+1)*n_block) and [N/2 + j*n_block, ...)."""
+    G = scales.shape[0]
+    lo = scales[:, :N2].reshape(G, -1, n_block)
+    hi = scales[:, N2:].reshape(G, -1, n_block)
+    return jnp.concatenate([lo, hi], axis=2).reshape(G, -1)

@@ -88,23 +88,43 @@ def cache_pspec() -> P:
     return P(None, "dp", None, "tp")
 
 
+def replicated_param_pspecs(config: ModelArgs) -> dict:
+    """All-replicated parameter specs: the asymmetric-TP draft
+    (reference: draft model on a NCCL sub-group of ranks,
+    tests/SnapKV/longspec_benchmark.py:54-64). Under GSPMD the analog is
+    draft TP degree 1 — weights replicated over tp, per-layer psums vanish,
+    and the "broadcast draft tokens to all ranks" is the implicit gather of
+    a replicated output. Kernel calls stay tp-shard_mapped (a replicated
+    operand shards locally for free), so the flash path survives."""
+    spec = jax.tree.map(
+        lambda s: P(*(None,) * len(s)) if isinstance(s, P) else None,
+        param_pspecs(config),
+        is_leaf=lambda x: isinstance(x, P) or x is None)
+    return spec
+
+
 def _tree_shardings(mesh: Mesh, pspecs):
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P) or x is None)
 
 
-def shard_params(params, mesh: Mesh, config: ModelArgs):
-    validate_tp(config, mesh.shape["tp"])
-    shardings = _tree_shardings(mesh, param_pspecs(config))
+def shard_params(params, mesh: Mesh, config: ModelArgs,
+                 replicate_tp: bool = False):
+    if not replicate_tp:
+        validate_tp(config, mesh.shape["tp"])
+    pspecs = (replicated_param_pspecs(config) if replicate_tp
+              else param_pspecs(config))
+    shardings = _tree_shardings(mesh, pspecs)
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def shard_cache(cache, mesh: Mesh):
+def shard_cache(cache, mesh: Mesh, replicate_tp: bool = False):
     """Shard a KVCache/DraftKVCache pytree (k/v 4-D, int32 per-seq vectors)."""
     def put(x):
         if x.ndim == 4:
-            return jax.device_put(x, NamedSharding(mesh, cache_pspec()))
+            spec = P(None, "dp", None, None) if replicate_tp else cache_pspec()
+            return jax.device_put(x, NamedSharding(mesh, spec))
         return jax.device_put(x, NamedSharding(mesh, P("dp")))
     return jax.tree.map(put, cache)
 

@@ -91,6 +91,33 @@ def dequantize_int4(qw: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
     return jnp.moveaxis(wf, -2, in_axis).astype(dtype)
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["q4", "s4"],
+         meta_fields=["out_shape"])
+@dataclass
+class Int4ColWeight:
+    """Column-pair nibble packing for the fused Pallas dequant-matmul
+    (ops/pallas/int4_matmul.py): q4 [(L,) K, N/2] int8, s4 [(L,) K/g, N]
+    f32; out_shape the matmul output trailing shape (e.g. (2, I) for the
+    stacked gate/up weight, whose [D, 2, I] collapses to [D, 2I])."""
+    q4: jax.Array
+    s4: jax.Array
+    out_shape: tuple
+
+
+def quantize_int4_cols(w: jax.Array, in_axis: int,
+                       group_size: int = 128) -> Int4ColWeight:
+    """Layer-stacked weight [L, ..in/out..] -> Int4ColWeight (kernel layout).
+    in_axis NEGATIVE; trailing axes after it collapse into one output dim."""
+    from magicdec_tpu.ops.pallas.int4_matmul import pack_int4_cols
+
+    lead = w.shape[:w.ndim + in_axis]
+    K = w.shape[in_axis]
+    out_shape = w.shape[w.ndim + in_axis + 1:]
+    w2 = w.reshape(*lead, K, -1)
+    q4, s4 = pack_int4_cols(w2, group_size=group_size)
+    return Int4ColWeight(q4=q4, s4=s4, out_shape=tuple(out_shape))
+
+
 _QUANT_SPECS = {  # weight name -> contraction axis, NEGATIVE (layer-agnostic)
     "wqkv": -2,        # [L, D, O]
     "wo": -2,          # [L, HqD, D]
@@ -111,7 +138,7 @@ def quantize_params(params: dict, mode: str = "int8") -> dict:
         if mode == "int8":
             layers[name] = quantize_int8(w, reduce_axes=(axis,))
         else:
-            layers[name] = quantize_int4(w, in_axis=axis)
+            layers[name] = quantize_int4_cols(w, in_axis=axis)
     out["layers"] = layers
     return out
 
@@ -129,6 +156,23 @@ def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
         wd = w["q"].astype(x.dtype)
         y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
         return y * _strip_lead_ones(w["s"]).astype(y.dtype)
+    if isinstance(w, Int4ColWeight):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() == "tpu":
+            from magicdec_tpu.ops.pallas.int4_matmul import int4_matmul
+            y = int4_matmul(x2, w.q4, w.s4)
+        else:
+            # reference path: unpack + scale, then matmul (storage halved,
+            # traffic not — the kernel is the TPU fast path)
+            lo = (jnp.left_shift(w.q4, 4) >> 4).astype(jnp.float32)
+            hi = (w.q4 >> 4).astype(jnp.float32)
+            qw = jnp.concatenate([lo, hi], axis=1)
+            g = qw.shape[0] // w.s4.shape[0]
+            wd = (qw * jnp.repeat(w.s4, g, axis=0)).astype(x.dtype)
+            y = x2 @ wd
+        return y.reshape(*lead, *w.out_shape) if w.out_shape else \
+            y.reshape(*lead, y.shape[-1])
     if isinstance(w, Int4Weight):
         w = dequantize_int4(w, x.dtype)
     return x @ w if einsum is None else jnp.einsum(einsum, x, w)

@@ -66,3 +66,37 @@ def test_quantized_model_logits_track_fp():
                      kv_dtype=jnp.float32)
         out, _ = generate_autoregressive(eng, toks[:, :32].repeat(4, 1), 8)
         assert np.asarray(out).shape == (2, 8)
+
+
+def test_int4_matmul_kernel_matches_dequant_oracle():
+    """Fused int4 dequant-matmul (packed nibbles streamed, unpacked in
+    registers) == x @ dequantized weight."""
+    import jax
+    import jax.numpy as jnp
+
+    from magicdec_tpu.ops.pallas.int4_matmul import (int4_matmul,
+                                                     pack_int4_cols)
+
+    M, K, N, g = 16, 256, 512, 128
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (M, K),
+                          jnp.float32).astype(jnp.bfloat16)
+    q4, scales = pack_int4_cols(w, group_size=g)
+
+    # oracle: reconstruct the dequantized weight from the packed layout
+    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.float32)
+    hi = (q4 >> 4).astype(jnp.float32)
+    qw = jnp.concatenate([lo, hi], axis=1)                    # [K, N]
+    sc = jnp.repeat(scales, g, axis=0)                        # [K, N]
+    w_deq = (qw * sc).astype(jnp.bfloat16)
+    ref = (x @ w_deq).astype(jnp.float32)
+
+    out = int4_matmul(x, q4, scales, group_size=g, n_block=128, k_block=128,
+                      interpret=True)
+    # kernel scales in f32 AFTER the integer matmul; the oracle rounds
+    # q*s to bf16 BEFORE it — allow bf16-rounding-scale absolute error
+    # (relative error is meaningless at cancellation outputs)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=0)

@@ -162,3 +162,30 @@ def test_tp_streaming_flash_kernel_matches_single_device(params, prompt):
         impls.set_attend_mode("auto")
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_asymmetric_longspec_matches_single_device(params, prompt):
+    """Asymmetric TP (reference: draft on a NCCL sub-group,
+    tests/SnapKV/longspec_benchmark.py:54-64,189): target tp-sharded, draft
+    REPLICATED over tp (draft TP degree 1). Two-model generation must be
+    bit-equal to the single-device run, and the self-draft (same weights)
+    must accept everything."""
+    from magicdec_tpu.engine.longspec import LongSpecEngine
+
+    def mk(mesh=None, replicate=False):
+        tgt = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                     mesh=mesh)
+        drf = Engine(CFG, params, batch_size=B, max_len=128, prefill_chunk=32,
+                     mesh=mesh, replicate_tp=replicate)
+        return LongSpecEngine(tgt, drf)
+
+    ref_out, ref_counts, ref_stats = mk().generate(prompt, gamma=2,
+                                                   max_new_tokens=MAX_NEW)
+    assert ref_stats.acceptance_rate == pytest.approx(1.0)
+
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    out, counts, stats = mk(mesh, replicate=True).generate(
+        prompt, gamma=2, max_new_tokens=MAX_NEW)
+    assert stats.acceptance_rate == pytest.approx(1.0)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
