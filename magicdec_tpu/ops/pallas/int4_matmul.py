@@ -7,6 +7,15 @@ XLA materializes the unpacked weight, so storage halves while HBM traffic
 doesn't. This kernel streams the PACKED nibbles into VMEM and unpacks in
 registers, so a decode step's weight traffic is truly K*N/2 bytes.
 
+Measured v5e reality (llama-3.2-1b, B=128 weights-only forward): bf16
+3.66 ms (~670 GB/s, roofline), int8 2.5 ms (XLA-fused cast), THIS KERNEL
+3.6 ms — the nibble unpack is VPU-BOUND (~5 int32 vector ops per weight
+element, i8/i16 vector shifts unsupported by Mosaic), which costs ~2 ms per
+1B params and cancels the bandwidth saving. On v5e int8 remains the
+weight-only throughput choice; int4's value is CAPACITY (half the weight
+HBM -> larger batch/context), which the kernel delivers without the 2x
+unpacked-materialization spike of the XLA path.
+
 Layout: nibbles pack OUTPUT-column pairs (n, n + N/2) into one int8 at
 q4[:, n] — unpacking yields two contiguous column blocks (no sublane
 interleave, which Mosaic handles poorly). The kernel writes a split-halves
@@ -54,14 +63,20 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, acc_lo, acc_hi, *, n_groups: int,
         acc_lo[...] = jnp.zeros_like(acc_lo)
         acc_hi[...] = jnp.zeros_like(acc_hi)
 
-    q4 = q4_ref[...]                                    # [K_blk, N_blk] i8
-    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.bfloat16)
-    hi = (q4 >> 4).astype(jnp.bfloat16)
+    # nibble extraction in int32 (Mosaic supports vector shifts only at
+    # i32); ((v & 0xF) ^ 8) - 8 sign-extends a 4-bit value
+    q32 = q4_ref[...].astype(jnp.int32)                 # [K_blk, N_blk]
+    lo = ((jnp.bitwise_and(q32, 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+    hi = ((jnp.bitwise_and(q32 >> 4, 0xF) ^ 8) - 8).astype(jnp.bfloat16)
     x = x_ref[...]                                      # [M, K_blk]
     for g in range(n_groups):
         xg = x[:, g * group:(g + 1) * group]
-        sg_lo = s_ref[g, : lo.shape[1]][None, :]        # [1, N_blk]
-        sg_hi = s_ref[g, lo.shape[1]:][None, :]
+        # s_ref carries ALL K-groups' rows (the [n_groups, ...] block
+        # shape is not TPU-tileable); this K-block's rows start at
+        # kb * n_groups
+        srow = kb * n_groups + g
+        sg_lo = s_ref[srow, : lo.shape[1]][None, :]     # [1, N_blk]
+        sg_hi = s_ref[srow, lo.shape[1]:][None, :]
         plo = jax.lax.dot_general(
             xg, lo[g * group:(g + 1) * group], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -81,8 +96,8 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, acc_lo, acc_hi, *, n_groups: int,
                    static_argnames=("group_size", "n_block", "k_block",
                                     "interpret"))
 def int4_matmul(x: jax.Array, q4: jax.Array, scales: jax.Array, *,
-                group_size: int = 128, n_block: int = 256,
-                k_block: int = 512, interpret: bool = False) -> jax.Array:
+                group_size: int = 128, n_block: int = 512,
+                k_block: int = 4096, interpret: bool = False) -> jax.Array:
     """x [M, K] @ packed int4 weight -> [M, N].
 
     q4 [K, N/2] int8 (pack_int4_cols layout), scales [K/g, N] f32.
@@ -91,11 +106,13 @@ def int4_matmul(x: jax.Array, q4: jax.Array, scales: jax.Array, *,
     M, K = x.shape
     N2 = q4.shape[1]
     N = 2 * N2
-    k_block = min(k_block, K)
+    # largest K block <= the target that divides K in whole scale groups
+    # (e.g. K=2816 with 128-groups -> 256)
+    k_block = (min(k_block, K) // group_size) * group_size
+    while K % k_block:
+        k_block -= group_size
     n_block = min(n_block, N2)
-    assert K % k_block == 0 and k_block % group_size == 0
     n_groups = k_block // group_size
-    gs_per_blk = K // group_size
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_groups=n_groups, group=group_size,
@@ -106,9 +123,9 @@ def int4_matmul(x: jax.Array, q4: jax.Array, scales: jax.Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_block, n_block), lambda n, kb: (kb, n),
                          memory_space=pltpu.VMEM),
-            # scale rows for this K block, lo cols then hi cols
-            pl.BlockSpec((n_groups, 2 * n_block),
-                         lambda n, kb: (kb, n),
+            # ALL scale rows, this n-block's lo cols then hi cols
+            pl.BlockSpec((K // group_size, 2 * n_block),
+                         lambda n, kb: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((2, M, n_block), lambda n, kb: (0, 0, n),
