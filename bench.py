@@ -42,6 +42,8 @@ BENCH_MODEL = dict(block_size=8192, vocab_size=4096, n_layer=8, n_head=16,
 BENCH_DRAFT = dict(block_size=8192, vocab_size=4096, n_layer=4, n_head=8,
                    n_kv_head=4, dim=512, intermediate_size=1408,
                    rope_base=500000.0, tie_word_embeddings=True)
+# deeper tier (VERDICT r1 #7: harden the headline): 2x the layers
+BENCH_DEEP = dict(BENCH_MODEL, n_layer=16)
 CACHE_DIR = Path(__file__).resolve().parent / ".bench_cache"
 
 
@@ -94,6 +96,10 @@ def main():
                    help="weight-only quantization for BOTH baseline and spec "
                         "(reference --quantize parity); KV stays bf16")
     p.add_argument("--train_steps", type=int, default=1200)
+    p.add_argument("--train_seq", type=int, default=1024,
+                   help="bench-model training sequence length")
+    p.add_argument("--tier", default="base", choices=["base", "deep"],
+                   help="bench model size tier (deep = 16L/1024d)")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes + random weights for CPU smoke testing")
@@ -113,13 +119,13 @@ def main():
         args.B, args.prefix_len, args.gen_len = 2, 256, 16
         args.draft_budget, args.window_size = 64, 16
     else:
-        # training always runs at seq 1024 (quadratic attention cost);
-        # longer benchmark prefixes measure honest length extrapolation,
-        # which this corpus supports (acceptance 0.956 at 2048, 0.961 at
-        # 4096 on held-out data — docs/RESULTS.md)
-        params, config = get_bench_model(train_seq=1024,
-                                         steps=args.train_steps,
-                                         seed=args.seed)
+        # benchmark prefixes beyond train_seq measure honest length
+        # extrapolation, which this corpus supports (acceptance 0.956 at
+        # 2048 / 0.961 at 4096 for the seq-1024 model — docs/RESULTS.md)
+        spec = BENCH_DEEP if args.tier == "deep" else None
+        params, config = get_bench_model(
+            train_seq=args.train_seq, steps=args.train_steps, seed=args.seed,
+            spec=spec, tag="_deep" if args.tier == "deep" else "")
     if args.quant:
         from magicdec_tpu.quant.int8 import quantize_params
         params = quantize_params(params, args.quant)

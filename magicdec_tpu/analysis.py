@@ -80,3 +80,67 @@ def plot_acceptance_vs_budget(rows, out_path: str = "acceptance.png"):
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Selection fidelity: joint-over-heads vs per-head oracle
+# ---------------------------------------------------------------------------
+# Upstream Quest/RetroInfer select pages/clusters PER ATTENTION HEAD; this
+# framework selects one shared set per sequence (summed-over-heads scores),
+# because a per-head gather on TPU needs a full-cache relayout or a slow
+# element gather (engine/quest.py docstring). This quantifies the cost of
+# that deviation: the fraction of each head's true softmax mass captured by
+# the selected budget, joint vs a per-head oracle (VERDICT r1 missing #7).
+
+
+def selection_fidelity(q, k, lengths, *, page: int = 128, n_pages: int):
+    """q [B, Hq, D] (rotated, the position-after-prefix query), k [B, S,
+    Hkv*D] one layer's cache. Returns dict of mean per-head softmax-mass
+    recall for: JOINT page selection (summed-over-heads min/max-box scores,
+    the quest rule), a per-head box selection (upstream Quest's rule), and a
+    per-head TRUE-mass oracle (upper bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, Hq, D = q.shape
+    S = k.shape[1]
+    Hkv = k.shape[2] // D
+    G = Hq // Hkv
+    P = S // page
+    kh = k.reshape(B, S, Hkv, D).astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    slot = jnp.arange(S)
+    valid = slot[None, :] < lengths[:, None]                 # [B, S]
+
+    # per-page min/max key boxes (quest metadata)
+    kp = kh.reshape(B, P, page, Hkv, D)
+    vp = valid.reshape(B, P, page)[..., None, None]
+    kmin = jnp.min(jnp.where(vp, kp, jnp.float32(3e38)), axis=2)
+    kmax = jnp.max(jnp.where(vp, kp, jnp.float32(-3e38)), axis=2)
+    qg = qf.reshape(B, Hkv, G, D)
+    box = jnp.maximum(jnp.einsum("bkgd,bpkd->bkgp", qg, kmin),
+                      jnp.einsum("bkgd,bpkd->bkgp", qg, kmax))  # [B,Hkv,G,P]
+    joint_pages = jax.lax.top_k(jnp.sum(box, axis=(1, 2)), n_pages)[1]
+
+    # true per-head softmax mass per page
+    probs = []
+    for h in range(Hq):
+        lg = jnp.einsum("bd,bsd->bs", qf[:, h], kh[:, :, h // G]) * (D ** -0.5)
+        lg = jnp.where(valid, lg, -1e30)
+        probs.append(jax.nn.softmax(lg, axis=-1))
+    probs = jnp.stack(probs, axis=1)                         # [B, Hq, S]
+    page_mass = probs.reshape(B, Hq, P, page).sum(-1)        # [B, Hq, P]
+
+    def recall(pages):
+        if pages.ndim == 2:
+            pages = jnp.broadcast_to(pages[:, None], (B, Hq, n_pages))
+        sel = jax.vmap(jax.vmap(lambda m, i: m[i]))(page_mass, pages)
+        return jnp.sum(sel, axis=-1)                         # [B, Hq]
+
+    box_h = box.transpose(0, 1, 2, 3).reshape(B, Hq, P)
+    return {
+        "joint": float(jnp.mean(recall(joint_pages))),
+        "perhead_box": float(jnp.mean(recall(jax.lax.top_k(box_h, n_pages)[1]))),
+        "perhead_true": float(jnp.mean(recall(
+            jax.lax.top_k(page_mass, n_pages)[1]))),
+    }

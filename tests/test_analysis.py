@@ -30,3 +30,23 @@ def test_best_gamma_tradeoff():
     g_costly, _ = best_gamma(0.6, 0.8)
     assert g_cheap > g_costly
     assert g_costly <= 2
+
+
+def test_selection_fidelity_bounds_and_ordering():
+    """Per-head TRUE-mass oracle must dominate the joint rule; all recalls
+    are softmax-mass fractions in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    from magicdec_tpu.analysis import selection_fidelity
+
+    B, Hq, Hkv, D, S = 2, 4, 2, 16, 512
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, Hq, D))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv * D))
+    lengths = jnp.asarray([S, S - 100], jnp.int32)
+    r = selection_fidelity(q, k, lengths, page=128, n_pages=2)
+    for v in r.values():
+        assert 0.0 <= v <= 1.0 + 1e-6
+    assert r["perhead_true"] >= r["joint"] - 1e-6
+    assert r["perhead_true"] >= r["perhead_box"] - 1e-6
