@@ -99,12 +99,41 @@ def load_batches(args, vocab_size: int):
         n = (toks.shape[0] // args.B) * args.B
         toks = toks[:n, :args.prefix_len].reshape(-1, args.B, args.prefix_len)
         return list(toks[:args.num_batches])
-    if args.dataset == "pg19":
-        from magicdec_tpu.data.converters import convert_pg19_dataset
-        ds = convert_pg19_dataset(seq_len=args.prefix_len)
-        n = (ds.shape[0] // args.B) * args.B
-        ds = ds[:n].reshape(-1, args.B, args.prefix_len)
+    if args.dataset == "mixed_markov":
+        from magicdec_tpu.data.converters import mixed_markov_dataset
+        return [jnp.asarray(mixed_markov_dataset(
+            seq_len=args.prefix_len, num_seqs=args.B,
+            vocab_size=min(vocab_size, 4096), seed=args.seed + 10_000 + i))
+            for i in range(args.num_batches)]
+    if args.dataset.startswith("ruler:"):
+        from magicdec_tpu.data import ruler
+        prompts, _ = ruler.prepare(args.dataset.split(":", 1)[1],
+                                   args.prefix_len,
+                                   args.B * args.num_batches,
+                                   vocab_size=min(vocab_size, 4096),
+                                   seed=args.seed)
+        ds = prompts.reshape(-1, args.B, args.prefix_len)
         return [jnp.asarray(x, jnp.int32) for x in ds[:args.num_batches]]
+
+    def chunked(ds):
+        n = (ds.shape[0] // args.B) * args.B
+        ds = ds[:n].reshape(-1, args.B, ds.shape[-1])
+        return [jnp.asarray(x, jnp.int32) for x in ds[:args.num_batches]]
+
+    from magicdec_tpu.data import converters as C
+    if args.dataset == "pg19":
+        return chunked(C.convert_pg19_dataset(seq_len=args.prefix_len))
+    if args.dataset == "c4":
+        return chunked(C.convert_c4_dataset(seq_len=args.prefix_len))
+    if args.dataset == "wiki":
+        return chunked(C.convert_wiki_dataset(seq_len=args.prefix_len))
+    if args.dataset == "cnn":
+        return chunked(C.convert_cnn_dataset(seq_len=args.prefix_len))
+    if args.dataset.startswith("longbench:"):
+        task = args.dataset.split(":", 1)[1]
+        return chunked(C.convert_longbench_v1_dataset(task, args.prefix_len))
+    if args.dataset == "longbench_v2":
+        return chunked(C.convert_longbench_v2_dataset(args.prefix_len))
     raise ValueError(f"unknown dataset {args.dataset!r}")
 
 
