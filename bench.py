@@ -100,6 +100,10 @@ def main():
                    help="bench-model training sequence length")
     p.add_argument("--tier", default="base", choices=["base", "deep"],
                    help="bench model size tier (deep = 16L/1024d)")
+    p.add_argument("--retro_cap", type=int, default=32,
+                   help="retro/squeeze cluster capacity (memory rows per "
+                        "cluster; larger cap = fewer DMA descriptors per "
+                        "round, coarser retrieval)")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes + random weights for CPU smoke testing")
@@ -180,7 +184,8 @@ def main():
     else:
         engine = Engine(config, params, batch_size=args.B, max_len=max_len,
                         spec=args.spec, draft_budget=args.draft_budget,
-                        window_size=args.window_size, prefill_chunk=128)
+                        window_size=args.window_size, prefill_chunk=128,
+                        retro_cap=args.retro_cap)
 
         def run(ids):
             engine.clear_kv()
@@ -205,7 +210,9 @@ def main():
                     else f"selfspec_speedup_{args.spec}") + f"_B{args.B}"
                    + f"_P{args.prefix_len}_g{args.gamma}"
                    f"_bud{args.draft_budget}"
-                   + (f"_{args.quant}" if args.quant else "")),
+                   + (f"_{args.quant}" if args.quant else "")
+                   + (f"_cap{args.retro_cap}" if args.retro_cap != 32
+                      else "")),
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 4),
@@ -214,7 +221,9 @@ def main():
             "selfspec_tokens_per_s": round(sp_tps, 1),
             "acceptance_rate": round(sum(acc_rates) / len(acc_rates), 4),
             "device": jax.devices()[0].device_kind,
-            "model": "trained-on-device 8L/1024d GQA llama (bf16)",
+            "model": (f"trained-on-device "
+                      f"{config.n_layer}L/{config.dim}d GQA llama "
+                      f"(bf16, seq {args.train_seq})"),
         },
     }
     print(json.dumps(result))

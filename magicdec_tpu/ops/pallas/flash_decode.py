@@ -335,15 +335,18 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
 # [hg*T*G, 128]).
 
 
-def _kernel_prefill(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref,
+def _kernel_prefill(l_ref, rows_ref, qd_ref, k_ref, v_ref,
                     o_ref, m_scr, l_scr, acc_scr, *, s_real: int,
                     scale: float):
     """Grid (B//BB, n_groups, n_s): qd_ref [BB, 1, Mg, HDg], k/v
-    [1, BB, s_block, HDg] (columns of group g), rows [BB, Mg, 1] shared
-    across groups."""
+    [1, BB, s_block, HDg] (columns of group g), rows [BB, Mg, 3] packing
+    (a, lo, hi) in one operand (three separate [Mg, 1] operands each pad to
+    128 lanes — 3x the VMEM for the same bits) shared across groups."""
     del l_ref
     for bi in range(qd_ref.shape[0]):
-        _flash_body(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi, 0],
+        rows = rows_ref[bi]
+        _flash_body(bi, rows[:, 0:1], rows[:, 1:2], rows[:, 2:3],
+                    qd_ref[bi, 0],
                     k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr, acc_scr,
                     s_real=s_real, scale=scale, s_axis=2, o_idx=(bi, 0))
 
@@ -388,9 +391,9 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
     s_block = _pick_s_block(S, s_block)
     s_extent = S if s_cap is None else min(max(s_cap, s_block), S)
     # VMEM per cell ~ BB*(qd + out + f32 acc + 2x double-buffered K/V cols
-    # + the three [Mg, 1] bound-row operands, which pad to 128 lanes)
+    # + the packed [Mg, 3] bound-row operand, which pads to 128 lanes)
     per_b = (s_block * HDg * 2 * 4) + Mg * HDg * (2 * 2 + 4) \
-        + 3 * Mg * 128 * 4 * 2
+        + Mg * 128 * 4 * 2
     BB = max(1, min(16, (8 * 1024 * 1024) // per_b))
     while B % BB:
         BB -= 1
@@ -399,14 +402,14 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
     a_r = _expand_rows(zero, G, TG, TG_pad, hg, 0)
     lo_r = _expand_rows(zero, G, TG, TG_pad, hg, 0)
     hi_r = _expand_rows(valid_upto, G, TG, TG_pad, hg, 1)
+    rows = jnp.concatenate([a_r, lo_r, hi_r], axis=2)        # [B, Mg, 3]
 
-    row_spec = pl.BlockSpec((BB, Mg, 1), lambda b, g, s, l_ref: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // BB, ngroups, pl.cdiv(s_extent, s_block)),
         in_specs=[
-            row_spec, row_spec, row_spec,
+            pl.BlockSpec((BB, Mg, 3), lambda b, g, s, l_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1, Mg, HDg),
                          lambda b, g, s, l_ref: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -431,7 +434,7 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, ngroups, Mg, HDg), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), rows, qd,
       k_cache, v_cache)
     # extract: [B, n, Mg, HDg] -> [B, n, hg, TG_pad, hg, D] -> diag over hg
     out = out.reshape(B, ngroups, hg, TG_pad, hg, D)
