@@ -162,7 +162,7 @@ def main():
     if args.two_model:
         from magicdec_tpu.engine.longspec import LongSpecEngine
         assert args.spec in ("snapkv", "streaming") or not args.draft_budget
-        dparams, dconfig = get_bench_model(train_seq=1024,
+        dparams, dconfig = get_bench_model(train_seq=args.train_seq,
                                            steps=args.train_steps,
                                            seed=args.seed, spec=BENCH_DRAFT,
                                            tag="_draft")
@@ -212,6 +212,9 @@ def main():
                    f"_bud{args.draft_budget}"
                    + (f"_{args.quant}" if args.quant else "")
                    + (f"_cap{args.retro_cap}" if args.retro_cap != 32
+                      else "")
+                   + (f"_{args.tier}" if args.tier != "base" else "")
+                   + (f"_ts{args.train_seq}" if args.train_seq != 1024
                       else "")),
         "value": round(speedup, 4),
         "unit": "x",

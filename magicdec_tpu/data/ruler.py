@@ -136,6 +136,11 @@ def common_words_extraction(seq_len: int, num_seqs: int,
     answers = np.empty((num_seqs, num_cw), np.int64)
     body = seq_len - 3
     num_ucw = max((body - num_cw * freq_cw) // freq_ucw, 1)
+    # long contexts would ask for more distinct uncommon words than the
+    # vocab holds (seq_len ~12.5k+ at the 4096 default); cap at the vocab
+    # and let np.resize tile the shuffled list — tiling preserves the
+    # freq_cw:freq_ucw ratio, so the common words stay dominant
+    num_ucw = min(num_ucw, vocab_size - 16 - num_cw)
     for i in range(num_seqs):
         words = rng.choice(np.arange(16, vocab_size), num_cw + num_ucw,
                            replace=False)

@@ -456,6 +456,11 @@ class HostBlockStore:
 
     def put_layer(self, l: int, blocks: np.ndarray):
         """blocks [B, C, 2, cap, HD]."""
+        # gather_clusters strides by the constructor's C; a clustering pass
+        # that yielded fewer clusters (non-divisible segment count) would lay
+        # rows out desynced from that stride and silently gather wrong bytes
+        assert blocks.shape[:2] == (self.B, self.C), (blocks.shape,
+                                                      self.B, self.C)
         self.buf.put(l * self.B * self.C,
                      np.ascontiguousarray(blocks).reshape(self.B * self.C, -1))
 

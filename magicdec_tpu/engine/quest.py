@@ -166,6 +166,14 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
 
     max_len = cache.k.shape[2]
     kmin, kmax = make_page_meta(cache, page)
+    # the budget covers BOTH the selected pages and the forced tail window:
+    # a budget below latest_k + page cannot be honored (it would silently
+    # re-interpret as 1 page + latest_k tail > budget)
+    if budget < latest_k + page:
+        raise ValueError(
+            f"quest draft_budget={budget} is below latest_k + page = "
+            f"{latest_k + page}; the effective budget is n_pages*{page} + "
+            f"{latest_k}-token tail — raise draft_budget or lower latest_k")
     n_pages = max(budget // page - latest_k // page, 1)
     NS = n_pages * page
     keep = latest_k

@@ -112,6 +112,13 @@ def int4_matmul(x: jax.Array, q4: jax.Array, scales: jax.Array, *,
     while K % k_block:
         k_block -= group_size
     n_block = min(n_block, N2)
+    # n_block must divide N2 exactly: _interleave_scales reshapes the scale
+    # rows into whole n-blocks (e.g. N2=2816 with the default 512 would fail)
+    while N2 % n_block:
+        n_block -= 128
+        if n_block <= 0:
+            n_block = N2
+            break
     n_groups = k_block // group_size
 
     out = pl.pallas_call(

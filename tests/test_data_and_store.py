@@ -104,6 +104,20 @@ def test_ruler_common_words_extraction_frequencies():
         assert np.array_equal(np.sort(a), a)   # canonical order
 
 
+def test_ruler_common_words_extraction_long_context():
+    """seq_len beyond the vocab-limited regime (~12.5k at vocab 4096): the
+    uncommon-word pool is capped and the list is tiled — common words must
+    still strictly dominate every uncommon word's frequency."""
+    prompts, answers = ruler.common_words_extraction(16384, 2, seed=3)
+    assert prompts.shape == (2, 16384)
+    for p, a in zip(prompts, answers):
+        counts = np.bincount(p[1:-2], minlength=4096)
+        amin = min(counts[t] for t in a)
+        others = np.asarray([c for t, c in enumerate(counts)
+                             if c > 0 and t not in set(a.tolist())])
+        assert amin > others.max()
+
+
 def test_convert_longbench_v2_dataset_hermetic(tmp_path):
     import json
 

@@ -100,3 +100,31 @@ def test_int4_matmul_kernel_matches_dequant_oracle():
     scale = np.abs(np.asarray(ref)).max()
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                atol=2e-2 * scale, rtol=0)
+
+
+def test_int4_matmul_non_divisible_n_block():
+    """N/2 not a multiple of the default n_block (the bench model's gate/up
+    weight: N2=2816, default n_block 512) — the kernel must clamp n_block to
+    a divisor instead of crashing in _interleave_scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from magicdec_tpu.ops.pallas.int4_matmul import (int4_matmul,
+                                                     pack_int4_cols)
+
+    M, K, N, g = 8, 256, 2 * 2816, 128
+    key = jax.random.PRNGKey(2)
+    w = jax.random.normal(key, (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (M, K),
+                          jnp.float32).astype(jnp.bfloat16)
+    q4, scales = pack_int4_cols(w, group_size=g)
+    out = int4_matmul(x, q4, scales, group_size=g, n_block=512, k_block=256,
+                      interpret=True)
+    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.float32)
+    hi = (q4 >> 4).astype(jnp.float32)
+    qw = jnp.concatenate([lo, hi], axis=1)
+    w_deq = (qw * jnp.repeat(scales, g, axis=0)).astype(jnp.bfloat16)
+    ref = (x @ w_deq).astype(jnp.float32)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=0)
