@@ -127,6 +127,20 @@ def append_at_layer(cache: jax.Array, new: jax.Array, lengths: jax.Array,
     return cache.at[l, b_idx, s_idx].set(new, mode="drop")
 
 
+def append_at_layer_uniform(cache: jax.Array, new: jax.Array,
+                            start, l: jax.Array) -> jax.Array:
+    """append_at_layer for the UNIFORM case (every sequence writes at the
+    same offset — chunked prefill): one dynamic_update_slice instead of a
+    [B*T]-row scatter. The scatter costs ~1 ms per call at B=128/T=128 on
+    v5e (~50x the HBM floor); the slice update aliases in place and runs at
+    copy speed. `start` is a traced int32 scalar."""
+    B, T = new.shape[:2]
+    new = new.reshape(1, B, T, -1).astype(cache.dtype)
+    return jax.lax.dynamic_update_slice(
+        cache, new, (jnp.asarray(l, jnp.int32), jnp.int32(0),
+                     jnp.asarray(start, jnp.int32), jnp.int32(0)))
+
+
 def append_layer_kv(cache_k_l: jax.Array, cache_v_l: jax.Array,
                     k_new: jax.Array, v_new: jax.Array,
                     lengths: jax.Array) -> tuple[jax.Array, jax.Array]:

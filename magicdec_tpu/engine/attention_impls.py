@@ -74,14 +74,39 @@ def _flash_stacked(q, ck, cv, l, valid, mesh, s_cap=None, s_block=512):
     return fn(q, ck, cv, l, valid)
 
 
+_PREFILL_S_BLOCK = 1024          # measured best on v5e (4.47 ms/call vs
+_PREFILL_VMEM = 32 * 1024 * 1024  # 5.4 at the decode kernels' 512/8MB)
+
+
+def flash_stacked_lse(q, ck, cv, l, valid, mesh, s_cap=None):
+    """flash_decode_stacked with the online-softmax state (m, l) returned for
+    split-attention merging (ops/attention.merge_lse) — the GliDe tree verify
+    runs [flash prefix | dense tree block]."""
+    if mesh is None or mesh.devices.size == 1:
+        return flash_decode_stacked(q, ck, cv, l, valid, interpret=_interp(),
+                                    s_cap=s_cap, return_lse=True)
+    fn = jax.shard_map(
+        functools.partial(flash_decode_stacked, interpret=_interp(),
+                          s_cap=s_cap, return_lse=True),
+        mesh=mesh,
+        in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
+                  P(None, "dp", None, "tp"), P(), P("dp", None)),
+        out_specs=(P("dp", None, "tp", None), P("dp", None, "tp"),
+                   P("dp", None, "tp")), check_vma=False)
+    return fn(q, ck, cv, l, valid)
+
+
 def _flash_prefill_dispatch(q, ck, cv, l, valid, mesh, s_cap=None):
     """flash_prefill (h-grouped chunk attention), shard_mapped when needed."""
     from magicdec_tpu.ops.pallas.flash_decode import flash_prefill
     if mesh is None or mesh.devices.size == 1:
         return flash_prefill(q, ck, cv, l, valid, interpret=_interp(),
-                             s_cap=s_cap)
+                             s_cap=s_cap, s_block=_PREFILL_S_BLOCK,
+                             vmem_budget=_PREFILL_VMEM)
     fn = jax.shard_map(
-        functools.partial(flash_prefill, interpret=_interp(), s_cap=s_cap),
+        functools.partial(flash_prefill, interpret=_interp(), s_cap=s_cap,
+                          s_block=_PREFILL_S_BLOCK,
+                          vmem_budget=_PREFILL_VMEM),
         mesh=mesh,
         in_specs=(P("dp", None, "tp", None), P(None, "dp", None, "tp"),
                   P(None, "dp", None, "tp"), P(), P("dp", None)),
@@ -162,7 +187,8 @@ def _attend_stacked(config: ModelArgs, q, ck, cv, l, valid, attend=None,
 
 
 def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None,
-                cap: int | None = None, mesh=None, write_mask=None):
+                cap: int | None = None, mesh=None, write_mask=None,
+                uniform_start=None):
     """Decode/verify/prefill against the target cache.
 
     caches = (ck, cv) stacked [L, B, S, Hkv*D]. Queries sit at absolute
@@ -174,16 +200,33 @@ def target_attn(config: ModelArgs, lengths_before: jax.Array, attend=None,
     power-of-2 bucket >= the chunk's causal frontier, so early chunks don't
     read (and dense-path compute over) the whole max_len cache. Lengths must
     satisfy lengths_before + T <= cap.
+
+    `uniform_start` (traced int32 scalar, optional): asserts every sequence
+    writes at the same offset (chunked prefill). The append becomes one
+    dynamic_update_slice instead of a [B*T]-row scatter (~50x cheaper,
+    cache.append_at_layer_uniform) and the rope tables collapse to [1, T]
+    positions (B x fewer transcendentals).
     """
     def impl(q, k, v, caches, l):
         ck, cv = caches
         T = q.shape[1]
-        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q = rope(config, q, positions)
-        k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l, write_mask)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l, write_mask)
-        valid = dense.decode_valid_upto(lengths_before, T)
+        if uniform_start is not None:
+            positions = (uniform_start
+                         + jnp.arange(T, dtype=jnp.int32))[None, :]  # [1, T]
+            q = rope(config, q, positions)
+            k = rope(config, k, positions)
+            ck = cache_lib.append_at_layer_uniform(ck, k, uniform_start, l)
+            cv = cache_lib.append_at_layer_uniform(cv, v, uniform_start, l)
+            valid = jnp.broadcast_to(positions + 1, (q.shape[0], T))
+        else:
+            positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            q = rope(config, q, positions)
+            k = rope(config, k, positions)
+            ck = cache_lib.append_at_layer(ck, k, lengths_before, l,
+                                           write_mask)
+            cv = cache_lib.append_at_layer(cv, v, lengths_before, l,
+                                           write_mask)
+            valid = dense.decode_valid_upto(lengths_before, T)
         ctx = _attend_stacked(config, q, ck, cv, l, valid, attend, cap=cap,
                               mesh=mesh)
         return _flat(ctx), (ck, cv)
@@ -319,7 +362,8 @@ def streaming_draft_attn(config: ModelArgs, draft_lengths_before: jax.Array,
 
 def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
                         context_len: int, budget: int, window: int,
-                        attend=None, cap: int | None = None, mesh=None):
+                        attend=None, cap: int | None = None, mesh=None,
+                        uniform_start=None):
     """Last prefill chunk: target prefill attention + SnapKV draft-cache build
     (reference: Attention.prefill is_last=True -> gen_draft_kv,
     Engine/SnapKV/model.py:383-445).
@@ -329,12 +373,21 @@ def prefill_snapkv_attn(config: ModelArgs, lengths_before: jax.Array,
     def impl(q, k, v, caches, l):
         ck, cv, dk, dv = caches
         T = q.shape[1]
-        positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        q = rope(config, q, positions)
-        k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
-        valid = dense.decode_valid_upto(lengths_before, T)
+        if uniform_start is not None:
+            positions = (uniform_start
+                         + jnp.arange(T, dtype=jnp.int32))[None, :]
+            q = rope(config, q, positions)
+            k = rope(config, k, positions)
+            ck = cache_lib.append_at_layer_uniform(ck, k, uniform_start, l)
+            cv = cache_lib.append_at_layer_uniform(cv, v, uniform_start, l)
+            valid = jnp.broadcast_to(positions + 1, (q.shape[0], T))
+        else:
+            positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            q = rope(config, q, positions)
+            k = rope(config, k, positions)
+            ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+            cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+            valid = dense.decode_valid_upto(lengths_before, T)
         # the chunk attention MUST take the same kernel path as the plain
         # prefill chunks (prefill_chunk_step -> target_attn): the AR baseline
         # and every engine must produce bit-identical prefill states or

@@ -43,8 +43,12 @@ from magicdec_tpu.models.config import ModelArgs
                    donate_argnames=("cache",))
 def prefill_chunk_step(params, config: ModelArgs, cache: KVCache, tokens,
                        last_only: bool = True, cap: int | None = None,
-                       mesh=None):
-    impl = impls.target_attn(config, cache.lengths, cap=cap, mesh=mesh)
+                       mesh=None, start=None):
+    """`start` (traced int32 scalar, optional): uniform chunk offset — every
+    sequence prefills the same prompt length, so the append collapses to one
+    dynamic_update_slice and the rope tables to [1, T] (see target_attn)."""
+    impl = impls.target_attn(config, cache.lengths, cap=cap, mesh=mesh,
+                             uniform_start=start)
     logits, (ck, cv) = llama.forward(params, config, tokens, impl,
                                      (cache.k, cache.v), last_only=last_only)
     new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
@@ -68,12 +72,12 @@ def _pow2_cap(frontier: int, max_len: int) -> int:
 def prefill_last_chunk_snapkv_step(params, config: ModelArgs, cache: KVCache,
                                    draft: DraftKVCache, tokens,
                                    context_len: int, budget: int, window: int,
-                                   mesh=None):
+                                   mesh=None, start=None):
     """Final prefill chunk + SnapKV draft-cache construction."""
     impl = impls.prefill_snapkv_attn(config, cache.lengths, context_len,
                                      budget, window,
                                      cap=_pow2_cap(context_len, cache.max_len),
-                                     mesh=mesh)
+                                     mesh=mesh, uniform_start=start)
     logits, (ck, cv, dk, dv) = llama.forward(
         params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v),
         last_only=True)
@@ -284,16 +288,19 @@ class Engine:
         next_tok = None
         for i in range(n_chunks):
             tok = input_ids[:, i * chunk:(i + 1) * chunk]
+            # every sequence prefills the same prompt length -> the uniform
+            # fast path (single-slice append, [1, T] rope tables)
+            start = jnp.int32(i * chunk)
             if self.spec == "snapkv" and i == n_chunks - 1:
                 next_tok, self.cache, self.draft = prefill_last_chunk_snapkv_step(
                     self.params, self.config, self.cache, self.draft, tok,
                     context_len=P, budget=self.draft_budget,
-                    window=self.window_size, mesh=self.mesh)
+                    window=self.window_size, mesh=self.mesh, start=start)
             else:
                 cap = _pow2_cap((i + 1) * chunk, self.max_len)
                 next_tok, self.cache = prefill_chunk_step(
                     self.params, self.config, self.cache, tok, cap=cap,
-                    mesh=self.mesh)
+                    mesh=self.mesh, start=start)
         if self.spec == "streaming":
             self.draft = build_streaming_draft_step(
                 self.config, self.cache, self.draft,

@@ -46,7 +46,8 @@ from magicdec_tpu.engine.spec import _accept_and_update
 from magicdec_tpu.models import glide as glide_lib
 from magicdec_tpu.models import llama
 from magicdec_tpu.models.config import ModelArgs
-from magicdec_tpu.ops.attention import masked_attention_general
+from magicdec_tpu.ops.attention import (masked_attention_general,
+                                        masked_attention_lse, merge_lse)
 from magicdec_tpu.ops.rope import rope
 
 NEG_INF = -1e30
@@ -57,12 +58,14 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "gamma", "max_new_tokens", "mesh"),
+    jax.jit, static_argnames=("config", "gamma", "max_new_tokens", "mesh",
+                              "use_flash"),
     donate_argnames=("cache", "output", "gen_counts"))
 def glide_generate_fused(params, glide_params, config: ModelArgs,
                          cache: KVCache, own_k, own_v, own_lengths, buffer0,
                          output, gen_counts, eot, gamma: int,
-                         max_new_tokens: int, mesh=None):
+                         max_new_tokens: int, mesh=None,
+                         use_flash: bool = False):
     """Linear glide SD, whole generation in one while_loop.
 
     own_k/own_v [B, Sd, Hkv*D]: the glide block's self-attention cache
@@ -89,7 +92,8 @@ def glide_generate_fused(params, glide_params, config: ModelArgs,
             logits, ok, ov = glide_lib.glide_forward(
                 glide_params, params, config, tok, pos, ok, ov, ol,
                 cache.k[-1], cache.v[-1],
-                jnp.broadcast_to(lenT0[:, None], tok.shape))
+                jnp.broadcast_to(lenT0[:, None], tok.shape),
+                use_flash=use_flash)
             tok = argmax_tokens(logits[:, -1:])
             ol = ol + 1
             drafted.append(tok)
@@ -99,7 +103,7 @@ def glide_generate_fused(params, glide_params, config: ModelArgs,
         _, ok, ov = glide_lib.glide_forward(
             glide_params, params, config, tok, lenT0[:, None] + gamma, ok, ov,
             ol, cache.k[-1], cache.v[-1],
-            jnp.broadcast_to(lenT0[:, None], tok.shape))
+            jnp.broadcast_to(lenT0[:, None], tok.shape), use_flash=use_flash)
         own_k2, own_v2 = ok, ov
         buffer = jnp.concatenate([buffer0] + drafted, axis=1)
 
@@ -193,6 +197,33 @@ def _tree_target_impl(config, lengths_before, positions, full_mask):
     return impl
 
 
+def _tree_target_impl_flash(config, lengths_before, positions, anc, mesh):
+    """Tree verify as [flash kernel over the prefix | dense attention over
+    the N tree rows], LSE-merged (ops/attention.merge_lse) — replaces the
+    dense [B, N, S] ancestor-masked attention the round-2 build used. The
+    tree rows need no cache re-read: this layer's freshly-rotated k/v
+    operands ARE the tree block. Counterpart of the reference's
+    triton_tree_part_fwd prefix/branch merge
+    (tests/Quest/longspec_llama_glide.py:309)."""
+    anc_m = jnp.asarray(anc)
+
+    def impl(q, k, v, caches, l):
+        ck, cv = caches
+        B, N = q.shape[:2]
+        q = rope(config, q, positions)
+        k = rope(config, k, positions)
+        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
+        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
+        hi = jnp.broadcast_to(lengths_before[:, None], (B, N))
+        ctx_p, m_p, l_p = impls.flash_stacked_lse(q, ck, cv, l, hi, mesh)
+        tm = jnp.broadcast_to(anc_m[None], (B, N, N))
+        ctx_t, m_t, l_t = masked_attention_lse(q, k, v, tm)
+        ctx = merge_lse(ctx_p, m_p, l_p, ctx_t, m_t, l_t)
+        return ctx.reshape(B, N, -1), (ck, cv)
+
+    return impl
+
+
 def _compact_path(arrays, base, path, keep_len):
     """arrays: per-layer-less [B, S, HD] (glide) or stacked [L, B, S, HD];
     move slots base+path[i] -> base+i for i < keep_len."""
@@ -214,7 +245,8 @@ def _compact_path(arrays, base, path, keep_len):
 
 
 def _write_leaf_level_kv(params, glide_params, config, tree: SpecTree,
-                         node_tokens, own_k, own_v, own_len, lenT0, cache):
+                         node_tokens, own_k, own_v, own_len, lenT0, cache,
+                         use_flash: bool = False):
     """Append the leaf level's K/V to the glide cache (logits discarded).
 
     The level-by-level draft loop only forwards levels 0..depth-1 (leaves
@@ -226,18 +258,22 @@ def _write_leaf_level_kv(params, glide_params, config, tree: SpecTree,
     lvl = tree.levels[d]
     toks = node_tokens[:, jnp.asarray(lvl)]
     Sd = own_k.shape[1]
-    mask = _tree_mask(jnp.asarray(tree.ancestor[lvl]), own_len, tree.n_nodes,
-                      Sd)
+    if use_flash:
+        kw = dict(use_flash=True, tree=(tree.ancestor[lvl], own_len))
+    else:
+        kw = dict(attn_mask=_tree_mask(jnp.asarray(tree.ancestor[lvl]),
+                                       own_len, tree.n_nodes, Sd))
     _, own_k, own_v = glide_lib.glide_forward(
         glide_params, params, config, toks,
         jnp.broadcast_to(lenT0[:, None] + d, toks.shape), own_k, own_v,
         own_len + int(lvl[0]), cache.k[-1], cache.v[-1],
-        jnp.broadcast_to(lenT0[:, None], toks.shape), attn_mask=mask)
+        jnp.broadcast_to(lenT0[:, None], toks.shape), **kw)
     return own_k, own_v
 
 
 def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
-                     cache: KVCache, own_k, own_v, own_len, root_tok, eot):
+                     cache: KVCache, own_k, own_v, own_len, root_tok, eot,
+                     use_flash: bool = False, mesh=None):
     """One greedy tree-speculation round. Returns (cache, own_k, own_v,
     new_own_len, emitted [B, depth+1], emit_len [B], bonus [B,1], terminal).
 
@@ -259,26 +295,33 @@ def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
         n_lvl = len(lvl)
         toks = node_tokens[:, jnp.asarray(lvl)]
         pos = jnp.broadcast_to(lenT0[:, None] + d, (B, n_lvl))
-        mask = _tree_mask(jnp.asarray(tree.ancestor[lvl]), own_len, N, Sd)
+        if use_flash:
+            kw = dict(use_flash=True, tree=(tree.ancestor[lvl], own_len))
+        else:
+            kw = dict(attn_mask=_tree_mask(jnp.asarray(tree.ancestor[lvl]),
+                                           own_len, N, Sd))
         logits, own_k, own_v = glide_lib.glide_forward(
             glide_params, params, config, toks, pos, own_k, own_v,
             own_len + int(lvl[0]), cache.k[-1], cache.v[-1],
-            jnp.broadcast_to(lenT0[:, None], (B, n_lvl)), attn_mask=mask)
+            jnp.broadcast_to(lenT0[:, None], (B, n_lvl)), **kw)
         top = jax.lax.top_k(logits, b)[1].astype(jnp.int32)  # [B, n_lvl, b]
         child_ids = jnp.asarray(tree.levels[d + 1]).reshape(n_lvl, b)
         node_tokens = node_tokens.at[:, child_ids].set(top)
     own_k, own_v = _write_leaf_level_kv(params, glide_params, config, tree,
                                         node_tokens, own_k, own_v, own_len,
-                                        lenT0, cache)
+                                        lenT0, cache, use_flash=use_flash)
 
     # ---- verify all nodes in one target forward ----------------------------
     S = cache.k.shape[2]
     positions = lenT0[:, None] + depth_arr[None, :]
-    full_mask = _tree_mask(anc, lenT0, N, S)
-    logits, (ck, cv) = llama.forward(
-        params, config, node_tokens,
-        _tree_target_impl(config, lenT0, positions, full_mask),
-        (cache.k, cache.v))
+    if use_flash:
+        impl = _tree_target_impl_flash(config, lenT0, positions,
+                                       tree.ancestor, mesh)
+    else:
+        impl = _tree_target_impl(config, lenT0, positions,
+                                 _tree_mask(anc, lenT0, N, S))
+    logits, (ck, cv) = llama.forward(params, config, node_tokens, impl,
+                                     (cache.k, cache.v))
     target_tokens = argmax_tokens(logits)                    # [B, N]
 
     # ---- greedy root-to-leaf walk ------------------------------------------
@@ -316,6 +359,58 @@ def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
 
 def _is_eot_tok(tok, eot):
     return (tok == eot[0]) | (tok == eot[1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "tree", "max_new_tokens",
+                              "use_flash", "mesh"),
+    donate_argnames=("cache", "output", "gen_counts"))
+def glide_tree_generate_fused(params, glide_params, config: ModelArgs,
+                              tree: SpecTree, cache: KVCache, own_k, own_v,
+                              own_len, root0, output, gen_counts, eot,
+                              max_new_tokens: int, use_flash: bool = False,
+                              mesh=None):
+    """Greedy tree speculation, whole generation in one while_loop — the
+    round-2 build dispatched each tree round from the host (~4 ms tunnel
+    latency per round); here the host syncs once per generation, matching
+    every other engine's fused-loop discipline."""
+    max_len = cache.k.shape[2]
+    N = tree.n_nodes
+    depth1 = len(tree.branching) + 1
+
+    def cond(state):
+        cache, gen_counts, terminal = state[0], state[6], state[9]
+        return (~terminal
+                & (jnp.min(gen_counts) < max_new_tokens)
+                & (jnp.max(cache.lengths) + N <= max_len))
+
+    def body(state):
+        (cache, own_k, own_v, own_len, root, output, gen_counts, rounds,
+         accepted, terminal) = state
+        (cache, own_k, own_v, own_len, emitted, emit_len, bonus,
+         term) = glide_tree_round(params, glide_params, config, tree, cache,
+                                  own_k, own_v, own_len, root, eot,
+                                  use_flash=use_flash, mesh=mesh)
+        B, O = output.shape
+        pos = gen_counts[:, None] + jnp.arange(depth1, dtype=jnp.int32)[None, :]
+        keep = jnp.arange(depth1, dtype=jnp.int32)[None, :] < emit_len[:, None]
+        pos = jnp.where(keep, jnp.minimum(pos, O - 1), O)    # OOB -> dropped
+        output = output.at[jnp.arange(B)[:, None], pos].set(emitted,
+                                                            mode="drop")
+        return (cache, own_k, own_v, own_len, bonus, output,
+                gen_counts + emit_len, rounds + 1,
+                accepted + jnp.sum(emit_len - 1), terminal | term)
+
+    state = (cache, own_k, own_v, own_len, root0, output, gen_counts,
+             jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    state = jax.lax.while_loop(cond, body, state)
+    (cache, own_k, own_v, own_len, root0, output, gen_counts, rounds,
+     accepted, terminal) = state
+    B, cap = output.shape
+    idx = jnp.minimum(gen_counts, cap - 1)
+    output = output.at[jnp.arange(B), idx].set(root0[:, 0])
+    return (cache, own_k, own_v, own_len, output, gen_counts + 1, rounds,
+            accepted)
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +592,11 @@ class GlideEngine:
         buffer0 = self.encode(input_ids)
         stats = SpecStats()
         jax.block_until_ready(buffer0)
+        mesh = self.target.mesh
+        # flash paths are single-device pallas calls (the glide block is not
+        # shard_mapped yet); dense GSPMD remains the multi-chip path
+        use_flash = (jax.default_backend() == "tpu"
+                     and (mesh is None or mesh.devices.size == 1))
         t0 = _time.perf_counter()
         if tree is None:
             cap = max_new_tokens + gamma + 2
@@ -507,38 +607,19 @@ class GlideEngine:
                 self.target.params, self.glide_params, self.target.config,
                 self.target.cache, self.own_k, self.own_v, self.own_len,
                 buffer0, output, gen_counts, eot, gamma, max_new_tokens,
-                mesh=self.target.mesh)
+                mesh=mesh, use_flash=use_flash)
             stats.total_drafted = int(rounds) * B * gamma
         else:
-            # host-driven tree rounds (each round is one jitted program)
             depth1 = len(tree.branching) + 1
-            outs, counts = [], jnp.zeros((B,), jnp.int32)
             output = jnp.zeros((B, max_new_tokens + depth1 + 1), jnp.int32)
-            rounds = accepted = 0
-            while int(jnp.min(counts)) < max_new_tokens:
-                (self.target.cache, self.own_k, self.own_v, self.own_len,
-                 emitted, emit_len, buffer0, terminal) = glide_tree_round(
-                    self.target.params, self.glide_params, self.target.config,
-                    tree, self.target.cache, self.own_k, self.own_v,
-                    self.own_len, buffer0, eot)
-                pos = counts[:, None] + jnp.arange(depth1, dtype=jnp.int32)[None, :]
-                keep = jnp.arange(depth1)[None, :] < emit_len[:, None]
-                pos = jnp.where(keep, jnp.minimum(pos, output.shape[1] - 1),
-                                output.shape[1])
-                output = output.at[jnp.arange(B)[:, None], pos].set(
-                    emitted, mode="drop")
-                counts = counts + emit_len
-                rounds += 1
-                accepted += int(jnp.sum(emit_len - 1))
-                if bool(terminal):
-                    break
-                if int(jnp.max(self.target.cache.lengths)) + tree.n_nodes \
-                        > self.target.max_len:
-                    break
-            idx = jnp.minimum(counts, output.shape[1] - 1)
-            output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
-            gen_counts = counts + 1
-            stats.total_drafted = rounds * B * len(tree.branching)
+            gen_counts = jnp.zeros((B,), jnp.int32)
+            (self.target.cache, self.own_k, self.own_v, self.own_len, output,
+             gen_counts, rounds, accepted) = glide_tree_generate_fused(
+                self.target.params, self.glide_params, self.target.config,
+                tree, self.target.cache, self.own_k, self.own_v, self.own_len,
+                buffer0, output, gen_counts, eot, max_new_tokens,
+                use_flash=use_flash, mesh=mesh)
+            stats.total_drafted = int(rounds) * B * len(tree.branching)
         jax.block_until_ready(output)
         stats.wall_time_s = _time.perf_counter() - t0
         stats.rounds = int(rounds)

@@ -64,11 +64,18 @@ def _split_qkv(qkv, config: ModelArgs):
     return q, grouped[..., G * Dh:(G + 1) * Dh], grouped[..., (G + 1) * Dh:]
 
 
+def _tree_slice(flat: jax.Array, base: jax.Array, n: int) -> jax.Array:
+    """[B, S, HD] -> the n rows at [base[b], base[b] + n) per sequence."""
+    HD = flat.shape[2]
+    return jax.vmap(
+        lambda a, i: jax.lax.dynamic_slice(a, (i, 0), (n, HD)))(flat, base)
+
+
 def glide_forward(glide: Params, target_params: Params, config: ModelArgs,
                   tokens: jax.Array, positions: jax.Array,
                   own_k, own_v, own_lengths,
                   tgt_k_last, tgt_v_last, tgt_valid_upto,
-                  attn_mask=None):
+                  attn_mask=None, use_flash: bool = False, tree=None):
     """One glide step.
 
     tokens [B, T] at absolute `positions` [B, T]; own_k/own_v [B, Sd, Hkv*D]
@@ -76,13 +83,24 @@ def glide_forward(glide: Params, target_params: Params, config: ModelArgs,
     tgt_k_last/tgt_v_last [B, S, Hkv*D] the target's last-layer cache slice;
     tgt_valid_upto [B, T] bounds the cross-attention (the target has only
     verified that many positions). attn_mask optionally replaces the causal
-    self-mask (tree speculation passes the ancestor mask).
+    self-mask (tree speculation's ancestor mask, dense path).
+
+    use_flash: route both attentions through the flash-decode kernel — the
+    dense path materializes [B, Hq, T, S] logits against the target's FULL
+    last-layer cache every draft step, which is what kept GliDe from being a
+    throughput path. tree=(anc_rows [T, n_nodes] static bools, tree_base [B])
+    replaces attn_mask on the flash path: self-attention = flash over the
+    prefix [0, tree_base) LSE-merged with a dense block over the n_nodes
+    tree slots at [tree_base, tree_base + n) (ops/attention.merge_lse — the
+    reference's triton_tree_part_fwd does the same two-part merge,
+    tests/Quest/longspec_llama_glide.py:309).
 
     Returns (logits [B, T, V] f32, own_k, own_v).
     """
     c = config
     x = target_params["tok_embeddings"][tokens]
     B, T = tokens.shape
+    Hkv, Dh = c.n_kv_head, c.head_dim
 
     # self-attention over the glide's own cache
     h = rms_norm(x, glide["self_norm"], c.norm_eps)
@@ -92,25 +110,51 @@ def glide_forward(glide: Params, target_params: Params, config: ModelArgs,
     from magicdec_tpu import cache as cache_lib
     own_k, own_v = cache_lib.append_layer_kv(own_k, own_v, k, v, own_lengths)
     Sd = own_k.shape[1]
-    if attn_mask is None:
+    if use_flash and tree is not None:
+        from magicdec_tpu.engine.attention_impls import _interp
+        from magicdec_tpu.ops.pallas.flash_decode import flash_decode_intervals
+        anc_rows, tree_base = tree
+        n = anc_rows.shape[1]
+        zero = jnp.zeros((B, T), jnp.int32)
+        hi = jnp.broadcast_to(tree_base[:, None], (B, T))
+        ctx_p, m_p, l_p = flash_decode_intervals(
+            q, own_k, own_v, zero, zero, hi, return_lse=True,
+            interpret=_interp())
+        kt = _tree_slice(own_k, tree_base, n).reshape(B, n, Hkv, Dh)
+        vt = _tree_slice(own_v, tree_base, n).reshape(B, n, Hkv, Dh)
+        tm = jnp.broadcast_to(jnp.asarray(anc_rows)[None], (B, T, n))
+        ctx_t, m_t, l_t = dense.masked_attention_lse(q, kt, vt, tm)
+        ctx = dense.merge_lse(ctx_p, m_p, l_p, ctx_t, m_t, l_t)
+    elif use_flash:
+        from magicdec_tpu.engine.attention_impls import _interp
+        from magicdec_tpu.ops.pallas.flash_decode import flash_decode
         valid = dense.decode_valid_upto(own_lengths, T)
-        ctx = dense.masked_attention(
-            q, own_k.reshape(B, Sd, c.n_kv_head, c.head_dim),
-            own_v.reshape(B, Sd, c.n_kv_head, c.head_dim), valid)
+        ctx = flash_decode(q, own_k, own_v, valid, interpret=_interp())
+    elif attn_mask is None:
+        valid = dense.decode_valid_upto(own_lengths, T)
+        ctx = dense.masked_attention(q, own_k.reshape(B, Sd, Hkv, Dh),
+                                     own_v.reshape(B, Sd, Hkv, Dh), valid)
     else:
         ctx = dense.masked_attention_general(
-            q, own_k.reshape(B, Sd, c.n_kv_head, c.head_dim),
-            own_v.reshape(B, Sd, c.n_kv_head, c.head_dim), attn_mask)
+            q, own_k.reshape(B, Sd, Hkv, Dh),
+            own_v.reshape(B, Sd, Hkv, Dh), attn_mask)
     x = x + ctx.reshape(B, T, -1) @ glide["wo"]
 
-    # cross-attention into the target's last-layer KV (GQA layout shared)
+    # cross-attention into the target's last-layer KV (GQA layout shared);
+    # bounded by the verified prefix, so the flash path needs no tree part
     h = rms_norm(x, glide["cross_norm"], c.norm_eps)
     qc = (h @ glide["wq_cross"]).reshape(B, T, c.n_head, c.head_dim)
     qc = rope(c, qc, positions)
     S = tgt_k_last.shape[1]
-    ctx = dense.masked_attention(
-        qc, tgt_k_last.reshape(B, S, c.n_kv_head, c.head_dim),
-        tgt_v_last.reshape(B, S, c.n_kv_head, c.head_dim), tgt_valid_upto)
+    if use_flash:
+        from magicdec_tpu.engine.attention_impls import _interp
+        from magicdec_tpu.ops.pallas.flash_decode import flash_decode
+        ctx = flash_decode(qc, tgt_k_last, tgt_v_last, tgt_valid_upto,
+                           interpret=_interp())
+    else:
+        ctx = dense.masked_attention(
+            qc, tgt_k_last.reshape(B, S, Hkv, Dh),
+            tgt_v_last.reshape(B, S, Hkv, Dh), tgt_valid_upto)
     x = x + ctx.reshape(B, T, -1) @ glide["wo_cross"]
 
     # MLP

@@ -72,6 +72,50 @@ def masked_attention_general(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
+def masked_attention_lse(q: jax.Array, k: jax.Array, v: jax.Array,
+                         mask: jax.Array):
+    """As masked_attention_general but ALSO returns the online-softmax state
+    (m = rowmax logits, l = sum exp(s - m)), so a caller can MERGE this
+    attention with another partial attention over a disjoint slot set
+    (merge_lse) — the flash-decoding split-K combine. Used by the GliDe tree
+    verify: [flash kernel over the prefix | tiny dense tree block] instead of
+    one dense [B, T, S] masked attention (reference triton_tree_part_fwd,
+    tests/Quest/longspec_llama_glide.py:309, does the same merge in Triton).
+
+    Returns (ctx [B, T, Hq, D] in q.dtype, m [B, T, Hq] f32, l [B, T, Hq] f32).
+    Rows with an empty mask produce m = NEG_INF, l = 0 (ctx garbage — the
+    merge weight is 0).
+    """
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    logits = jnp.einsum("bthgd,bshd->bthgs", qg, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    logits = jnp.where(mask[:, :, None, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1)                          # [B, T, Hkv, G]
+    p = jnp.exp(logits - m[..., None])
+    p = jnp.where(mask[:, :, None, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bthgs,bshd->bthgd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out / jnp.maximum(l[..., None], 1e-30)
+    return (out.reshape(B, T, Hq, D).astype(q.dtype),
+            m.reshape(B, T, Hq), l.reshape(B, T, Hq))
+
+
+def merge_lse(ctx_a, m_a, l_a, ctx_b, m_b, l_b):
+    """Combine two partial softmax attentions over DISJOINT slot sets.
+    ctx_* [B, T, Hq, D] (normalized), m_*/l_* [B, T, Hq] f32."""
+    m = jnp.maximum(m_a, m_b)
+    w_a = l_a * jnp.exp(m_a - m)
+    w_b = l_b * jnp.exp(m_b - m)
+    tot = jnp.maximum(w_a + w_b, 1e-30)
+    out = (ctx_a.astype(jnp.float32) * w_a[..., None]
+           + ctx_b.astype(jnp.float32) * w_b[..., None]) / tot[..., None]
+    return out.astype(ctx_a.dtype)
+
+
 def decode_valid_upto(lengths_before: jax.Array, T: int,
                       cap: int | None = None) -> jax.Array:
     """valid_upto for T tokens appended after lengths_before [B] (causal)."""
