@@ -74,6 +74,37 @@ def get_bench_model(train_seq: int, steps: int, seed: int,
     return params, config
 
 
+def get_glide_block(params, config, train_seq: int, steps: int, seed: int,
+                    tag: str = ""):
+    """Train (or load the cached) GliDe draft block against the frozen bench
+    target (reference trains glide with a fused CE loss,
+    tests/Quest/longspec_llama_glide.py:492-502)."""
+    import jax.numpy as jnp
+
+    from magicdec_tpu import train as train_lib
+    from magicdec_tpu.checkpoint.store import load_params, save_params
+    from magicdec_tpu.data.converters import mixed_markov_dataset
+    from magicdec_tpu.models import glide as glide_lib
+
+    CACHE_DIR.mkdir(exist_ok=True)
+    ckpt = CACHE_DIR / f"glide{tag}_s{train_seq}_t{steps}_seed{seed}.npz"
+    like = jax.eval_shape(
+        lambda k: glide_lib.init_glide_params(k, config),
+        jax.random.PRNGKey(0))
+    like = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+                        like)
+    if ckpt.exists():
+        return load_params(str(ckpt), like=like)
+    data = mixed_markov_dataset(seq_len=min(train_seq, 1024), num_seqs=1024,
+                                seed=seed)
+    gp, loss = train_lib.train_glide(params, config, data, steps=steps)
+    gp = train_lib.cast_params(gp, jnp.bfloat16)
+    save_params(str(ckpt), gp)
+    print(f"# trained glide block: loss {loss:.3f}", file=sys.stderr,
+          flush=True)
+    return gp
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--B", type=int, default=128)
@@ -84,7 +115,10 @@ def main():
     p.add_argument("--window_size", type=int, default=32)
     p.add_argument("--spec", default="snapkv",
                    choices=["snapkv", "streaming", "quest", "retro",
-                            "squeeze"])
+                            "squeeze", "glide", "glide_tree"])
+    p.add_argument("--tree", default="3,2,2",
+                   help="glide_tree branching factors (comma-separated)")
+    p.add_argument("--glide_train_steps", type=int, default=800)
     p.add_argument("--two_model", action="store_true",
                    help="standalone-draft SD: a trained 4L/512d draft tier "
                         "speculates, the target verifies (reference "
@@ -181,6 +215,28 @@ def main():
             target.clear_kv()
             draft.clear_kv()
             return engine.generate(ids, args.gamma, args.gen_len)
+    elif args.spec in ("glide", "glide_tree"):
+        # GliDe: 1-layer cross-attention draft block trained against the
+        # frozen bench target (cached); linear or static-tree speculation
+        from magicdec_tpu.engine.glide_engine import GlideEngine, SpecTree
+        from magicdec_tpu.models import glide as glide_lib
+
+        gp = get_glide_block(params, config, train_seq=args.train_seq,
+                             steps=args.glide_train_steps, seed=args.seed,
+                             tag="_deep" if args.tier == "deep" else "")
+        tree = (SpecTree(tuple(int(x) for x in args.tree.split(",")))
+                if args.spec == "glide_tree" else None)
+        slack = (tree.n_nodes if tree else args.gamma) + 8
+        target = Engine(config, params, batch_size=args.B,
+                        max_len=args.prefix_len + args.gen_len + slack,
+                        prefill_chunk=128)
+        engine = GlideEngine(target, gp)
+
+        def run(ids):
+            target.clear_kv()
+            engine.own_len = jnp.zeros((args.B,), jnp.int32)
+            return engine.generate(ids, args.gen_len, gamma=args.gamma,
+                                   tree=tree)
     else:
         engine = Engine(config, params, batch_size=args.B, max_len=max_len,
                         spec=args.spec, draft_budget=args.draft_budget,
@@ -210,6 +266,8 @@ def main():
                     else f"selfspec_speedup_{args.spec}") + f"_B{args.B}"
                    + f"_P{args.prefix_len}_g{args.gamma}"
                    f"_bud{args.draft_budget}"
+                   + (f"_t{args.tree.replace(',', '')}"
+                      if args.spec == "glide_tree" else "")
                    + (f"_{args.quant}" if args.quant else "")
                    + (f"_cap{args.retro_cap}" if args.retro_cap != 32
                       else "")

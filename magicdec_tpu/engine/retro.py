@@ -140,6 +140,76 @@ def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
 # program as the SnapKV draft.
 
 
+def update_cluster_index(config: ModelArgs, cache: KVCache, centroids,
+                         cluster_slots, kv_store, counts, old_base, new_base,
+                         indexed_upto, *, age_max: int, cap: int):
+    """Keep generated tokens selectable after they age out of the tail
+    window: rows [old_base, new_base) per sequence (just compacted away)
+    are assigned to their NEAREST existing centroid and appended to the
+    member table — and, on device, to the KV-fused cluster store — so the
+    draft can still retrieve them (quest's update_page_meta discipline;
+    reference parity: RetroInfer's wrapper re-runs clustered attention over
+    the whole updated prefix each speculate,
+    Engine/RetrievalAttention/backend.py:113-129, so generated tokens are
+    always retrievable there).
+
+    counts [L, B, C] int32 live member counts (fill pointers); rows landing
+    in a full cluster (fill >= cap) are dropped from the index, like
+    build_cluster_index's overflow members. Centroids stay fixed — the
+    assignment uses the k-means metric (ops/kmeans.py step).
+
+    indexed_upto [B]: the prefill lengths the index was BUILT from — prefix
+    rows below it are already members (the first compactions age out
+    prefill-era tail rows, which must not be double-indexed: a duplicate key
+    would be attended twice)."""
+    L, B, S, HD = cache.k.shape
+    C = cluster_slots.shape[2]
+    j = jnp.arange(age_max, dtype=jnp.int32)
+    slot = old_base[:, None] + j[None, :]                     # [B, A]
+    valid = (j[None, :] < (new_base - old_base)[:, None]) \
+        & (slot >= indexed_upto[:, None])
+    src = jnp.clip(slot, 0, S - 1)
+
+    def per_layer(k_l, v_l):
+        take = jax.vmap(lambda a, i: a[i])
+        return take(k_l, src), take(v_l, src)
+
+    k_rows, v_rows = jax.vmap(per_layer)(cache.k, cache.v)    # [L,B,A,HD]
+    kf = k_rows.astype(jnp.float32)
+    d = (-2.0 * jnp.einsum("lbad,lbcd->lbac", kf, centroids)
+         + jnp.sum(centroids * centroids, axis=-1)[:, :, None, :])
+    assign = jnp.argmin(d, axis=-1).astype(jnp.int32)         # [L, B, A]
+
+    onehot = jax.nn.one_hot(assign, C, dtype=jnp.int32)       # [L,B,A,C]
+    onehot = onehot * valid[None, :, :, None]
+    rank = jnp.cumsum(onehot, axis=2) - 1
+    rank = jnp.take_along_axis(rank, assign[..., None], -1)[..., 0]
+    fill = jnp.take_along_axis(counts, assign, axis=-1) + rank  # [L,B,A]
+    ok = valid[None] & (fill < cap)
+    added = jnp.sum(onehot * ok[..., None].astype(jnp.int32), axis=2)
+    new_counts = jnp.minimum(counts + added, cap)
+
+    slot_lba = jnp.broadcast_to(slot[None], (L, B, age_max))
+    flat_tgt = jnp.where(ok, assign * cap + fill, C * cap)    # OOB -> drop
+
+    def scat_slots(tbl, ft, sl):                              # per (l, b)
+        return tbl.reshape(-1).at[ft].set(sl, mode="drop").reshape(tbl.shape)
+
+    new_slots = jax.vmap(jax.vmap(scat_slots))(cluster_slots, flat_tgt,
+                                               slot_lba)
+    if kv_store is not None:
+        rk = jnp.where(ok, assign * (2 * cap) + fill, kv_store.shape[2])
+        rv = jnp.where(ok, assign * (2 * cap) + cap + fill, kv_store.shape[2])
+
+        def scat_rows(st, r_k, r_v, kr, vr):                  # per (l, b)
+            st = st.at[r_k].set(kr.astype(st.dtype), mode="drop")
+            return st.at[r_v].set(vr.astype(st.dtype), mode="drop")
+
+        kv_store = jax.vmap(jax.vmap(scat_rows))(kv_store, rk, rv, k_rows,
+                                                 v_rows)
+    return new_slots, kv_store, new_counts
+
+
 def init_tail(cache: KVCache, NS: int, Wcap: int, keep: int):
     """Allocate the combined draft buffer and fill its tail region with the
     last `keep` rows of the (prefilled) target cache. Returns
@@ -384,10 +454,16 @@ def retro_select_gather_fn(config: ModelArgs, centroids, cluster_slots,
 def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
                               buffer0, output, gen_counts, eot, gamma: int,
                               max_new_tokens: int, make_select_gather, *,
-                              NS: int, keep: int, mesh=None):
+                              NS: int, keep: int, mesh=None,
+                              index_state=None, update_index=None):
     """Shared fused generation loop for the round-buffer engines.
-    make_select_gather(tail_base) -> select_gather_fn (tail_base enters the
-    selection exclusion / dedup)."""
+    make_select_gather(tail_base, index_state) -> select_gather_fn
+    (tail_base enters the selection exclusion / dedup).
+
+    index_state (loop-carried pytree) + update_index(index_state, cache,
+    old_base, new_base): keeps the retrieval index fresh — when compaction
+    ages rows out of the tail window, they are folded into the index so the
+    draft can still select them (update_cluster_index)."""
     from magicdec_tpu.engine import attention_impls as impls
     from magicdec_tpu.engine.spec import _accept_and_update
 
@@ -407,12 +483,19 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
 
     def body(state):
         (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
-         rounds, terminal, accepted, buffer0) = state
+         rounds, terminal, accepted, buffer0, index_state) = state
+        old_base = tail_base
         bufk, bufv, tail_len, tail_base = tail_compact(
             bufk, bufv, tail_len, tail_base, NS=NS, keep=keep,
             trigger=trigger)
+        if update_index is not None:
+            index_state = jax.lax.cond(
+                jnp.any(tail_base > old_base),
+                lambda a: update_index(a[0], cache, a[1], a[2]),
+                lambda a: a[0],
+                (index_state, old_base, tail_base))
         lenT0, tlen0 = cache.lengths, tail_len
-        select_gather_fn = make_select_gather(tail_base)
+        select_gather_fn = make_select_gather(tail_base, index_state)
         ck, cv, bufk, bufv, colmask, buffer = roundtail_draft_loop(
             params, config, cache.k, cache.v, bufk, bufv, colmask, tail_len,
             tail_base, lenT0, buffer0, select_gather_fn, gamma=gamma, NS=NS,
@@ -430,14 +513,14 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
         tail_len = tlen0 + accept
         return (cache, bufk, bufv, colmask, tail_len, tail_base, output,
                 gen_counts, rounds + 1, terminal | term, accepted + acc,
-                bonus)
+                bonus, index_state)
 
     state = (cache, bufk, bufv, colmask, tail_len, tail_base, output,
              gen_counts, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
-             buffer0)
+             buffer0, index_state)
     state = jax.lax.while_loop(cond, body, state)
     (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
-     rounds, terminal, accepted, buffer0) = state
+     rounds, terminal, accepted, buffer0, index_state) = state
     B, capo = output.shape
     idx = jnp.minimum(gen_counts, capo - 1)
     output = output.at[jnp.arange(B), idx].set(buffer0[:, 0])
@@ -455,23 +538,36 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                          nprobe: int, recent: int, mesh=None):
     """Full RetroInfer-style self-spec generation in one while_loop. The
     cluster index is built once from the prefill cache; fresh tokens live in
-    the rolling tail window (`recent` rows). Cluster selection+gather runs
+    the rolling tail window (`recent` rows) and, once they age out of it,
+    are folded into the index (update_cluster_index) so they stay
+    selectable for the rest of the generation. Cluster selection+gather runs
     once per ROUND (the gather is DMA-descriptor-bound); every draft step
     attends [gathered clusters | tail] through the flash kernel."""
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
     kv_store = (build_clustered_store(cache, cluster_slots, cap)
                 if jax.default_backend() == "tpu" else None)
+    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
+    age_max = recent + 8 * (gamma + 2)   # == the loop's Wcap bound on shift
 
-    def make_select_gather(tail_base):
-        return retro_select_gather_fn(config, centroids, cluster_slots,
-                                      kv_store, tail_base, nprobe=nprobe,
-                                      mesh=mesh)
+    indexed_upto = cache.lengths      # the index covers the prefill
+
+    def update_index(index_state, cache, old_base, new_base):
+        slots, store, cnts = index_state
+        return update_cluster_index(config, cache, centroids, slots, store,
+                                    cnts, old_base, new_base, indexed_upto,
+                                    age_max=age_max, cap=cap)
+
+    def make_select_gather(tail_base, index_state):
+        slots, store, _ = index_state
+        return retro_select_gather_fn(config, centroids, slots, store,
+                                      tail_base, nprobe=nprobe, mesh=mesh)
 
     return _roundtail_generate_fused(
         params, config, cache, buffer0, output, gen_counts, eot, gamma,
         max_new_tokens, make_select_gather, NS=nprobe * cap, keep=recent,
-        mesh=mesh)
+        mesh=mesh, index_state=(cluster_slots, kv_store, counts),
+        update_index=update_index)
 
 
 

@@ -83,26 +83,40 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
                            mesh=None):
     """Full SqueezedAttention-style self-spec generation (one while_loop):
     the retro round-buffer + tail machinery with the mass-threshold
-    selection rule plugged in as select_fn."""
+    selection rule plugged in as select_fn. Rows aging out of the tail
+    window are folded into the cluster index (update_cluster_index), and the
+    mass estimate uses the LIVE member counts."""
     from magicdec_tpu.engine.retro import (_roundtail_generate_fused,
-                                           retro_select_gather_fn)
+                                           retro_select_gather_fn,
+                                           update_cluster_index)
 
     centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
                                                    cap)
-    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.float32)
+    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
     kv_store = (build_clustered_store(cache, cluster_slots, cap)
                 if jax.default_backend() == "tpu" else None)
-    select_fn = squeeze_select_fn(config, centroids, counts,
-                                  max_clusters=max_clusters,
-                                  threshold=threshold)
+    age_max = recent + 8 * (gamma + 2)
 
-    def make_select_gather(tail_base):
-        return retro_select_gather_fn(config, centroids, cluster_slots,
-                                      kv_store, tail_base,
-                                      nprobe=max_clusters, mesh=mesh,
-                                      select_fn=select_fn)
+    indexed_upto = cache.lengths      # the index covers the prefill
+
+    def update_index(index_state, cache, old_base, new_base):
+        slots, store, cnts = index_state
+        return update_cluster_index(config, cache, centroids, slots, store,
+                                    cnts, old_base, new_base, indexed_upto,
+                                    age_max=age_max, cap=cap)
+
+    def make_select_gather(tail_base, index_state):
+        slots, store, cnts = index_state
+        select_fn = squeeze_select_fn(config, centroids,
+                                      cnts.astype(jnp.float32),
+                                      max_clusters=max_clusters,
+                                      threshold=threshold)
+        return retro_select_gather_fn(config, centroids, slots, store,
+                                      tail_base, nprobe=max_clusters,
+                                      mesh=mesh, select_fn=select_fn)
 
     return _roundtail_generate_fused(
         params, config, cache, buffer0, output, gen_counts, eot, gamma,
         max_new_tokens, make_select_gather, NS=max_clusters * cap,
-        keep=recent, mesh=mesh)
+        keep=recent, mesh=mesh, index_state=(cluster_slots, kv_store, counts),
+        update_index=update_index)

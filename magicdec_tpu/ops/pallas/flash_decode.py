@@ -25,7 +25,7 @@ lo=window_start, hi=causal_end). One mask form = one kernel = bit-identical
 numerics between the target/verify path and every draft path, which the
 full-budget acceptance==1.0 invariant depends on.
 
-Mask triage: the kernels are jointly MXU/VPU-bound, and at realistic shapes
+Mask triage (PREFILL kernel): the kernels are jointly MXU/VPU-bound, and at realistic shapes
 roughly half the VPU work is mask construction — yet most blocks need no
 mask at all (fully inside the valid interval) and blocks past every row's
 bound need no COMPUTE at all. Each block's class (0 = all-invalid: skip,
@@ -60,7 +60,12 @@ def _block_classes(a, lo, hi, n_blk: int, s_block: int, s_real: int,
     1 = every pair valid, 2 = mixed. a/lo/hi [B, T] int32 (mask = col < a or
     lo <= col < hi, identical for every head-expanded row of a sequence);
     cmin [B, n_blk] optional per-block column-mask minima (colmask holes
-    disqualify a block from class 1). Returns [B, n_blk] int32."""
+    disqualify a block from class 1). Returns [B, n_blk] int32.
+
+    Single-block grids get a CONSTANT all-class-2 array instead (triage can
+    save nothing there)."""
+    if n_blk == 1:
+        return jnp.full((a.shape[0], 1), 2, jnp.int32)
     be = (jnp.arange(n_blk, dtype=jnp.int32) + 1) * s_block      # [n]
     bs = be - s_block
     a_mn = jnp.min(a, 1, keepdims=True)
@@ -77,16 +82,6 @@ def _block_classes(a, lo, hi, n_blk: int, s_block: int, s_real: int,
     empty = (a_mx <= bs[None, :]) & ((hi_mx <= bs[None, :])
                                      | (lo_mn >= be[None, :]))
     return jnp.where(full, 1, jnp.where(empty, 0, 2)).astype(jnp.int32)
-
-
-def _colmask_block_min(colmask, n_blk: int, s_block: int):
-    """colmask [L, B, 1, R] -> per-block minima [L, B, n_blk] (R padded with
-    1s: a partial final block is never class-1 anyway via be <= s_real)."""
-    L, B, _, R = colmask.shape
-    pad = n_blk * s_block - R
-    cm = jnp.pad(colmask[:, :, 0, :], ((0, 0), (0, 0), (0, pad)),
-                 constant_values=1) if pad else colmask[:, :, 0, :]
-    return jnp.min(cm.reshape(L, B, n_blk, s_block), axis=3)
 
 
 def _flash_body(bi, cls, col, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr,
@@ -176,37 +171,82 @@ def _block_col(M: int, S_BLK: int, s_axis: int):
             + jax.lax.broadcasted_iota(jnp.int32, (M, S_BLK), 1))
 
 
-def _kernel(cls_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, *rest,
-            s_real: int, scale: float, cleanup: bool):
-    *outs, m_scr, l_scr, acc_scr, pen_scr = rest
+def _flash_body_inline(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
+                       acc_scr, *, s_real: int, scale: float, cm_blk=None,
+                       s_axis: int = 1, o_idx=None, lse_refs=None):
+    """Inline-masked online-softmax block update — the DECODE kernels' body.
+
+    The prefill body (_flash_body) triages blocks via prefetched classes and
+    a penalty scratch, a measured win at chunk sizes (most blocks are fully
+    valid); at decode shapes the same structure measured ~10% SLOWER inside
+    the fused generation loops (the pen VMEM round-trip and the extra launch
+    dependency outweigh the saved mask passes), so decode keeps the
+    straight-line masked body. The two bodies are numerically bit-identical
+    (see _flash_body's flush argument), which the full-budget
+    acceptance==1.0 invariant relies on when prefill and decode mix.
+    """
+    sblk = pl.program_id(s_axis)
+    n_sblk = pl.num_programs(s_axis)
+    S_BLK = k_blk.shape[0]
+    M = qd.shape[0]
+
+    @pl.when(sblk == 0)
+    def _init():
+        m_scr[bi] = jnp.full(m_scr.shape[1:], NEG_INF, m_scr.dtype)
+        l_scr[bi] = jnp.zeros(l_scr.shape[1:], l_scr.dtype)
+        acc_scr[bi] = jnp.zeros(acc_scr.shape[1:], acc_scr.dtype)
+
+    col = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (M, S_BLK), 1)
+    mask = (col < a) | ((col >= lo) & (col < hi))        # [M, S_BLK]
+    if cm_blk is not None:
+        mask = mask & (cm_blk > 0)          # cm_blk [1, S_BLK] broadcasts
+    row = sblk * S_BLK + jax.lax.broadcasted_iota(jnp.int32, (S_BLK, 1), 0)
+    v_blk = jnp.where(row < s_real, v_blk, jnp.zeros_like(v_blk))
+
+    s = jax.lax.dot_general(qd, k_blk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, NEG_INF)
+    m_old = m_scr[bi]                                    # [M, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)         # [M, S_BLK]
+    m_scr[bi] = m_new
+    l_scr[bi] = l_scr[bi] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[bi] = acc_scr[bi] * alpha + pv               # [M, Hkv*D]
+
+    @pl.when(sblk == n_sblk - 1)
+    def _finish():
+        idx = (bi,) if o_idx is None else o_idx
+        o_ref[idx] = (acc_scr[bi] / l_scr[bi]).astype(o_ref.dtype)
+        if lse_refs is not None:
+            lse_refs[0][idx] = m_scr[bi]
+            lse_refs[1][idx] = l_scr[bi]
+
+
+def _kernel(a_ref, lo_ref, hi_ref, qd_ref, k_ref, v_ref, *rest,
+            s_real: int, scale: float):
+    *outs, m_scr, l_scr, acc_scr = rest
     lse = tuple(outs[1:]) or None
-    BB, M = qd_ref.shape[0], qd_ref.shape[1]
-    b0 = pl.program_id(0) * BB
-    col = _block_col(M, k_ref.shape[1], 1)
-    for bi in range(BB):                                 # static unroll
-        _flash_body(bi, cls_ref[b0 + bi, pl.program_id(1)], col,
-                    a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
-                    k_ref[bi], v_ref[bi], outs[0], m_scr, l_scr, acc_scr,
-                    pen_scr, s_real=s_real, scale=scale, cleanup=cleanup,
-                    lse_refs=lse)
+    for bi in range(qd_ref.shape[0]):                    # static unroll
+        _flash_body_inline(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                           k_ref[bi], v_ref[bi], outs[0], m_scr, l_scr,
+                           acc_scr, s_real=s_real, scale=scale, lse_refs=lse)
 
 
-def _kernel_stacked(l_ref, cls_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref,
-                    v_ref, *rest, s_real: int, scale: float, cleanup: bool):
+def _kernel_stacked(l_ref, a_ref, lo_ref, hi_ref, qd_ref, k_ref,
+                    v_ref, *rest, s_real: int, scale: float):
     """Stacked k/v blocks arrive as [1, b_block, s_block, HD] (layer picked
     by the scalar-prefetch index_map)."""
     del l_ref
-    *outs, m_scr, l_scr, acc_scr, pen_scr = rest
+    *outs, m_scr, l_scr, acc_scr = rest
     lse = tuple(outs[1:]) or None
-    BB, M = qd_ref.shape[0], qd_ref.shape[1]
-    b0 = pl.program_id(0) * BB
-    col = _block_col(M, k_ref.shape[2], 1)
-    for bi in range(BB):
-        _flash_body(bi, cls_ref[b0 + bi, pl.program_id(1)], col,
-                    a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
-                    k_ref[0, bi], v_ref[0, bi], outs[0], m_scr, l_scr,
-                    acc_scr, pen_scr, s_real=s_real, scale=scale,
-                    cleanup=cleanup, lse_refs=lse)
+    for bi in range(qd_ref.shape[0]):
+        _flash_body_inline(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                           k_ref[0, bi], v_ref[0, bi], outs[0], m_scr, l_scr,
+                           acc_scr, s_real=s_real, scale=scale, lse_refs=lse)
 
 
 def _pick_s_block(S: int, target: int) -> int:
@@ -307,48 +347,40 @@ def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
     M = Hkv * TG_pad
     s_block = _pick_s_block(S, s_block)
     BB = _pick_b_block(B, s_block, HD)
-    n_sblk = pl.cdiv(S, s_block)
-    # padded rows replicate the last real row's bounds (finite softmax,
-    # triage-friendly); their output columns are discarded by _extract_out
+    # padded rows replicate the last real row's bounds (finite softmax);
+    # their output columns are discarded by _extract_out
     a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv)
     lo_r = _expand_rows(lo, G, TG, TG_pad, Hkv)
     hi_r = _expand_rows(hi, G, TG, TG_pad, Hkv)
-    cls = _block_classes(sink_end, lo, hi, n_sblk, s_block, S)
 
-    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, cls_ref: (b, 0, 0),
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // BB, n_sblk),
+    out_shape = (jax.ShapeDtypeStruct((B, M, HD), q.dtype),) + (
+        jax.ShapeDtypeStruct((B, M, 1), jnp.float32),) * (2 * return_lse)
+    out = pl.pallas_call(
+        functools.partial(_kernel, s_real=S, scale=D ** -0.5),
+        grid=(B // BB, pl.cdiv(S, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((BB, M, HD), lambda b, s, cls_ref: (b, 0, 0),
+            pl.BlockSpec((BB, M, HD), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, s_block, HD), lambda b, s, cls_ref: (b, s, 0),
+            pl.BlockSpec((BB, s_block, HD), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, s_block, HD), lambda b, s, cls_ref: (b, s, 0),
+            pl.BlockSpec((BB, s_block, HD), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            (pl.BlockSpec((BB, M, HD), lambda b, s, cls_ref: (b, 0, 0),
+            (pl.BlockSpec((BB, M, HD), lambda b, s: (b, 0, 0),
                           memory_space=pltpu.VMEM),)
             + (row_spec, row_spec) * return_lse),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, HD), jnp.float32),
-            pltpu.VMEM((M, s_block), jnp.float32),
         ],
-    )
-    out_shape = (jax.ShapeDtypeStruct((B, M, HD), q.dtype),) + (
-        jax.ShapeDtypeStruct((B, M, 1), jnp.float32),) * (2 * return_lse)
-    out = pl.pallas_call(
-        functools.partial(_kernel, s_real=S, scale=D ** -0.5,
-                          cleanup=_needs_cleanup(S, s_block, S)),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
         interpret=interpret,
-    )(cls, a_r, lo_r, hi_r, qd, k_cache, v_cache)
+    )(a_r, lo_r, hi_r, qd, k_cache, v_cache)
     ctx = _extract_out(out[0], B, T, Hkv, G, D, TG, TG_pad, eye)
     if not return_lse:
         return ctx
@@ -407,50 +439,46 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     s_block = _pick_s_block(S, s_block)
     BB = _pick_b_block(B, s_block, HD, M=M)
     s_extent = S if s_cap is None else min(max(s_cap, s_block), S)
-    n_sblk = pl.cdiv(s_extent, s_block)
     zero = jnp.zeros_like(valid_upto)
     a_r = _expand_rows(zero, G, TG, TG_pad, Hkv)
     lo_r = _expand_rows(zero, G, TG, TG_pad, Hkv)
     hi_r = _expand_rows(valid_upto, G, TG, TG_pad, Hkv)
-    cls = _block_classes(zero, zero, valid_upto, n_sblk, s_block, S)
 
-    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref, c_ref: (b, 0, 0),
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B // BB, n_sblk),
+        num_scalar_prefetch=1,
+        grid=(B // BB, pl.cdiv(s_extent, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref, c_ref: (b, 0, 0),
+            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HD),
-                         lambda b, s, l_ref, c_ref: (l_ref[0], b, s, 0),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HD),
-                         lambda b, s, l_ref, c_ref: (l_ref[0], b, s, 0),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             (pl.BlockSpec((BB, M, HD),
-                          lambda b, s, l_ref, c_ref: (b, 0, 0),
+                          lambda b, s, l_ref: (b, 0, 0),
                           memory_space=pltpu.VMEM),)
             + (row_spec, row_spec) * return_lse),
         scratch_shapes=[
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, HD), jnp.float32),
-            pltpu.VMEM((M, s_block), jnp.float32),
         ],
     )
     out_shape = (jax.ShapeDtypeStruct((B, M, HD), q.dtype),) + (
         jax.ShapeDtypeStruct((B, M, 1), jnp.float32),) * (2 * return_lse)
     out = pl.pallas_call(
-        functools.partial(_kernel_stacked, s_real=S, scale=D ** -0.5,
-                          cleanup=_needs_cleanup(s_extent, s_block, S)),
+        functools.partial(_kernel_stacked, s_real=S, scale=D ** -0.5),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), cls, a_r, lo_r, hi_r, qd,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
       k_cache, v_cache)
     ctx = _extract_out(out[0], B, T, Hkv, G, D, TG, TG_pad, eye)
     if not return_lse:
@@ -605,19 +633,15 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_stacked_cm(l_ref, cls_ref, a_ref, lo_ref, hi_ref, qd_ref, cm_ref,
-                       k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, pen_scr,
-                       *, s_real: int, scale: float, cleanup: bool):
-    BB, M = qd_ref.shape[0], qd_ref.shape[1]
-    b0 = pl.program_id(0) * BB
-    l = l_ref[0]
-    col = _block_col(M, k_ref.shape[2], 1)
-    for bi in range(BB):
-        _flash_body(bi, cls_ref[l, b0 + bi, pl.program_id(1)], col,
-                    a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
-                    k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr, acc_scr,
-                    pen_scr, s_real=s_real, scale=scale, cleanup=cleanup,
-                    cm_blk=cm_ref[0, bi])
+def _kernel_stacked_cm(l_ref, a_ref, lo_ref, hi_ref, qd_ref, cm_ref,
+                       k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                       *, s_real: int, scale: float):
+    del l_ref
+    for bi in range(qd_ref.shape[0]):
+        _flash_body_inline(bi, a_ref[bi], lo_ref[bi], hi_ref[bi], qd_ref[bi],
+                           k_ref[0, bi], v_ref[0, bi], o_ref, m_scr, l_scr,
+                           acc_scr, s_real=s_real, scale=scale,
+                           cm_blk=cm_ref[0, bi])
 
 
 @functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
@@ -645,49 +669,43 @@ def flash_decode_stacked_masked(q, k_cache, v_cache, layer, colmask,
     M = Hkv * TG_pad
     s_block = _pick_s_block(S, s_block)
     BB = _pick_b_block(B, s_block, HD)
-    n_sblk = pl.cdiv(S, s_block)
     a_r = _expand_rows(sink_end, G, TG, TG_pad, Hkv)
     lo_r = _expand_rows(lo, G, TG, TG_pad, Hkv)
     hi_r = _expand_rows(hi, G, TG, TG_pad, Hkv)
-    colmask = jnp.asarray(colmask, jnp.int32)
-    cls = _block_classes(sink_end, lo, hi, n_sblk, s_block, S,
-                         cmin=_colmask_block_min(colmask, n_sblk, s_block))
 
-    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref, c_ref: (b, 0, 0),
+    row_spec = pl.BlockSpec((BB, M, 1), lambda b, s, l_ref: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B // BB, n_sblk),
+        num_scalar_prefetch=1,
+        grid=(B // BB, pl.cdiv(S, s_block)),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref, c_ref: (b, 0, 0),
+            pl.BlockSpec((BB, M, HD), lambda b, s, l_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1, s_block),
-                         lambda b, s, l_ref, c_ref: (l_ref[0], b, 0, s),
+                         lambda b, s, l_ref: (l_ref[0], b, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HD),
-                         lambda b, s, l_ref, c_ref: (l_ref[0], b, s, 0),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HD),
-                         lambda b, s, l_ref, c_ref: (l_ref[0], b, s, 0),
+                         lambda b, s, l_ref: (l_ref[0], b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BB, M, HD),
-                               lambda b, s, l_ref, c_ref: (b, 0, 0),
+                               lambda b, s, l_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, 1), jnp.float32),
             pltpu.VMEM((BB, M, HD), jnp.float32),
-            pltpu.VMEM((M, s_block), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_stacked_cm, s_real=S, scale=D ** -0.5,
-                          cleanup=_needs_cleanup(S, s_block, S)),
+        functools.partial(_kernel_stacked_cm, s_real=S, scale=D ** -0.5),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, M, HD), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), cls, a_r, lo_r, hi_r, qd,
-      colmask, k_cache, v_cache)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), a_r, lo_r, hi_r, qd,
+      jnp.asarray(colmask, jnp.int32), k_cache, v_cache)
     return _extract_out(out, B, T, Hkv, G, D, TG, TG_pad, eye)
