@@ -333,11 +333,12 @@ def offload_generate(params, config: ModelArgs, state: OffloadState, store,
     return jnp.concatenate(toks, axis=1), state
 
 
-@functools.partial(jax.jit, static_argnames=("config", "nprobe"))
-def _hostloop_part1(lp, config: ModelArgs, x, positions, cent_l, tail_k_l,
-                    tail_v_l, tail_len, nprobe: int):
-    """Up to the cluster selection: returns (q rotated, top_c, tail slices
-    with this token's K/V appended)."""
+def _part1_body(lp, config: ModelArgs, x, positions, cent_l, tail_k_l,
+                tail_v_l, tail_slot, nprobe: int):
+    """Layer first half for ONE token [B, 1]: qkv + rope + tail append at
+    tail_slot + per-token centroid selection. Shared by the AR hostloop and
+    the verify path of the spec mode, so both run the exact same per-token
+    program shapes (losslessness: verify == gamma+1 AR steps)."""
     from magicdec_tpu.quant.int8 import qmatmul
 
     Hkv, Dh = config.n_kv_head, config.head_dim
@@ -351,8 +352,8 @@ def _hostloop_part1(lp, config: ModelArgs, x, positions, cent_l, tail_k_l,
     q = rope(config, q, positions)
     k = rope(config, k, positions)
     b_idx = jnp.arange(B)
-    tail_k_l = tail_k_l.at[b_idx, tail_len].set(k.reshape(B, -1))
-    tail_v_l = tail_v_l.at[b_idx, tail_len].set(v.reshape(B, -1))
+    tail_k_l = tail_k_l.at[b_idx, tail_slot].set(k.reshape(B, -1))
+    tail_v_l = tail_v_l.at[b_idx, tail_slot].set(v.reshape(B, -1))
 
     C = cent_l.shape[1]
     qg = q.reshape(B, 1, Hkv, G, Dh).astype(jnp.float32)
@@ -363,27 +364,23 @@ def _hostloop_part1(lp, config: ModelArgs, x, positions, cent_l, tail_k_l,
     return q, top_c, tail_k_l, tail_v_l
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _hostloop_part2(lp, config: ModelArgs, x, q, blocks, mem_ok, tail_k_l,
-                    tail_v_l, tail_len):
-    """After the host gather: attend [clusters | causal tail], finish the
-    block (wo + FFN)."""
+def _attend_body(lp, config: ModelArgs, x, q, k_sel, v_sel, mem_ok, tail_k_l,
+                 tail_v_l, tail_bound):
+    """Layer second half for ONE token: attend [clusters | tail rows
+    < tail_bound], then wo + FFN. k_sel/v_sel [B, NS, HD]; mem_ok [B, NS];
+    tail_bound [B] (the token's causal bound INCLUDING itself)."""
     from magicdec_tpu.quant.int8 import qmatmul
 
     Hkv, Dh = config.n_kv_head, config.head_dim
     B = x.shape[0]
-    nprobe, _, cap, HD = blocks.shape[1:]
-    k_sel = blocks[:, :, 0].reshape(B, nprobe * cap, HD)
-    v_sel = blocks[:, :, 1].reshape(B, nprobe * cap, HD)
+    NS = k_sel.shape[1]
     Wcap = tail_k_l.shape[1]
     k_all = jnp.concatenate([k_sel.astype(tail_k_l.dtype), tail_k_l], axis=1)
     v_all = jnp.concatenate([v_sel.astype(tail_v_l.dtype), tail_v_l], axis=1)
-    NS = nprobe * cap
     col = jnp.arange(NS + Wcap, dtype=jnp.int32)
     tail_ok = ((col[None, :] >= NS)
-               & (col[None, :] < NS + tail_len[:, None] + 1))
-    mask = jnp.concatenate([mem_ok.reshape(B, NS),
-                            jnp.zeros((B, Wcap), bool)],
+               & (col[None, :] < NS + tail_bound[:, None]))
+    mask = jnp.concatenate([mem_ok, jnp.zeros((B, Wcap), bool)],
                            axis=1)[:, None, :] | tail_ok[:, None, :]
     S_all = NS + Wcap
     ctx = dense.masked_attention_general(
@@ -394,6 +391,29 @@ def _hostloop_part2(lp, config: ModelArgs, x, q, blocks, mem_ok, tail_k_l,
     gate_up = qmatmul(h, lp["w_gate_up"], einsum="btd,dzi->btzi")
     return x + qmatmul(jax.nn.silu(gate_up[..., 0, :]) * gate_up[..., 1, :],
                        lp["w_down"])
+
+
+@functools.partial(jax.jit, static_argnames=("config", "nprobe"))
+def _hostloop_part1(lp, config: ModelArgs, x, positions, cent_l, tail_k_l,
+                    tail_v_l, tail_len, nprobe: int):
+    """Up to the cluster selection: returns (q rotated, top_c, tail slices
+    with this token's K/V appended)."""
+    return _part1_body(lp, config, x, positions, cent_l, tail_k_l, tail_v_l,
+                       tail_len, nprobe)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _hostloop_part2(lp, config: ModelArgs, x, q, blocks, mem_ok, tail_k_l,
+                    tail_v_l, tail_len):
+    """After the host gather: attend [clusters | causal tail], finish the
+    block (wo + FFN)."""
+    B = x.shape[0]
+    nprobe, _, cap, HD = blocks.shape[1:]
+    k_sel = blocks[:, :, 0].reshape(B, nprobe * cap, HD)
+    v_sel = blocks[:, :, 1].reshape(B, nprobe * cap, HD)
+    return _attend_body(lp, config, x, q, k_sel, v_sel,
+                        mem_ok.reshape(B, nprobe * cap), tail_k_l, tail_v_l,
+                        tail_len + 1)
 
 
 def offload_generate_hostloop(params, config: ModelArgs, state: OffloadState,
@@ -439,6 +459,182 @@ def offload_generate_hostloop(params, config: ModelArgs, state: OffloadState,
         tail_len=tail_len, tail_base=state.tail_base,
         prefix_len=state.prefix_len)
     return jnp.concatenate(toks, axis=1), new_state
+
+
+# ---------------------------------------------------------------------------
+# Speculation over the offloaded store
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "gamma"))
+def _spec_draft_round(params, config: ModelArgs, tok0, pos0, draft_k, draft_v,
+                      draft_ok, tail_k, tail_v, tail_len0, gamma: int):
+    """gamma draft steps with ZERO host traffic: each step attends
+    [the previous verify's cluster blocks (draft_k/draft_v [L, B, NS, HD],
+    <= gamma+1 tokens stale — the round-buffer staleness discipline) |
+    causal tail], appending its K/V to the tail (verify overwrites the same
+    slots: the SnapKV dual-write rollback discipline). Returns
+    (buffer [B, gamma+1], tail_k, tail_v)."""
+    from magicdec_tpu.quant.int8 import qmatmul
+    from magicdec_tpu.models import llama
+
+    B = tok0.shape[0]
+    L = config.n_layer
+    tok = tok0
+    drafted = [tok0]
+    for i in range(gamma):
+        x = params["tok_embeddings"][tok]
+        for l in range(L):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            q, _, tk_l, tv_l = _part1_body(
+                lp, config, x, pos0 + i, jnp.zeros_like(draft_k[l][:, :1]),
+                tail_k[l], tail_v[l], tail_len0 + i, nprobe=1)
+            tail_k = [tk_l if j == l else tail_k[j] for j in range(L)]
+            tail_v = [tv_l if j == l else tail_v[j] for j in range(L)]
+            x = _attend_body(lp, config, x, q, draft_k[l], draft_v[l],
+                             draft_ok[l], tk_l, tv_l, tail_len0 + i + 1)
+        logits = llama.unembed(params, config, x)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        drafted.append(tok)
+    return jnp.concatenate(drafted, axis=1), tail_k, tail_v
+
+
+@functools.partial(jax.jit, static_argnames=("config", "nprobe", "T"))
+def _spec_verify_l1(lp, config: ModelArgs, x_all, pos0, cent_l, tail_k_l,
+                    tail_v_l, tail_len0, nprobe: int, T: int):
+    """Verify, layer first half: the EXACT per-token program of
+    _hostloop_part1 unrolled over the round's T = gamma+1 tokens (per-token
+    [B, 1] shapes so selection and numerics match the AR twin), all host
+    gathers deferred to one batched fetch."""
+    qs, tops = [], []
+    for j in range(T):
+        q, top_c, tail_k_l, tail_v_l = _part1_body(
+            lp, config, x_all[:, j:j + 1], pos0 + j, cent_l, tail_k_l,
+            tail_v_l, tail_len0 + j, nprobe)
+        qs.append(q)
+        tops.append(top_c)
+    return (jnp.concatenate(qs, axis=1), jnp.stack(tops, axis=1),
+            tail_k_l, tail_v_l)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "T"))
+def _spec_verify_l2(lp, config: ModelArgs, x_all, q_all, blocks, mem_ok,
+                    tail_k_l, tail_v_l, tail_len0, T: int):
+    """Verify, layer second half: per token, attend ITS OWN fetched blocks
+    (blocks [B, T, nprobe, 2, cap, HD]) + the causal tail."""
+    outs = []
+    B = x_all.shape[0]
+    npb, _, cap, HD = blocks.shape[2:]
+    for j in range(T):
+        k_sel = blocks[:, j, :, 0].reshape(B, npb * cap, HD)
+        v_sel = blocks[:, j, :, 1].reshape(B, npb * cap, HD)
+        xj = _attend_body(lp, config, x_all[:, j:j + 1],
+                          q_all[:, j:j + 1], k_sel, v_sel,
+                          mem_ok[:, j].reshape(B, npb * cap),
+                          tail_k_l, tail_v_l, tail_len0 + j + 1)
+        outs.append(xj)
+    return jnp.concatenate(outs, axis=1)
+
+
+def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
+                          store, buffer0, max_new_tokens: int, *, gamma: int,
+                          nprobe: int, cap: int, eot_ids=()):
+    """Speculative decoding OVER the offloaded cluster store — the
+    throughput re-design of the reference's RetroInfer-as-draft composition
+    (Engine/RetrievalAttention/backend.py:113-129, which re-prefills per
+    speculate): the draft proposes gamma tokens attending [the previous
+    verify's cluster blocks | causal tail] with no host traffic at all; the
+    verify re-runs the exact per-token clustered attention of
+    offload_generate_hostloop for all gamma+1 tokens with ONE host gather
+    per LAYER per ROUND — host/tunnel round-trips per emitted token drop by
+    ~(accepted + 1)x. Greedy acceptance; rollback is a tail-length rewind
+    (verify dual-writes the tail slots the draft wrote).
+
+    Losslessness: the verify program IS gamma+1 copies of the AR per-token
+    program (same [B, 1] op shapes, same selection rule), so the emitted
+    stream equals offload_generate_hostloop's — bit-exact on CPU
+    (tests/test_offload.py); on TPU co-scheduling may flip argmax at
+    numerical near-ties, as with GliDe's tree scope.
+
+    Returns (tokens [B, >= max_new_tokens], state, stats dict).
+    """
+    from magicdec_tpu.engine.spec import _accept_and_update, _eot_array
+    from magicdec_tpu.models import llama
+
+    B = buffer0.shape[0]
+    L = config.n_layer
+    HD = config.n_kv_head * config.head_dim
+    NS = nprobe * cap
+    T = gamma + 1
+    eot = _eot_array(eot_ids)
+    need = int(jnp.max(state.tail_len)) + max_new_tokens + gamma + 2
+    assert state.tail_k.shape[2] >= need, (
+        f"tail Wcap {state.tail_k.shape[2]} < {need}; size tail_slack for "
+        f"the whole generation (the offload tail has no compaction)")
+
+    tail_k = [state.tail_k[l] for l in range(L)]
+    tail_v = [state.tail_v[l] for l in range(L)]
+    tail_len = state.tail_len
+    draft_k = [jnp.zeros((B, NS, HD), state.tail_k.dtype) for _ in range(L)]
+    draft_v = [jnp.zeros((B, NS, HD), state.tail_v.dtype) for _ in range(L)]
+    draft_ok = [jnp.zeros((B, NS), bool) for _ in range(L)]
+
+    emb = jax.jit(lambda p, t: p["tok_embeddings"][t])
+
+    @jax.jit
+    def target_argmax(params, x_all):
+        return jnp.argmax(llama.unembed(params, config, x_all),
+                          axis=-1).astype(jnp.int32)
+
+    output = jnp.zeros((B, max_new_tokens + gamma + 2), jnp.int32)
+    gen_counts = jnp.zeros((B,), jnp.int32)
+    tok = buffer0
+    rounds = accepted = 0
+    while int(jnp.min(gen_counts)) < max_new_tokens:
+        pos0 = (state.tail_base + tail_len)[:, None]
+        buffer, tail_k, tail_v = _spec_draft_round(
+            params, config, tok, pos0, draft_k, draft_v, draft_ok,
+            tail_k, tail_v, tail_len, gamma)
+
+        x_all = emb(params, buffer)
+        for l in range(L):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            q_all, top_all, tail_k[l], tail_v[l] = _spec_verify_l1(
+                lp, config, x_all, pos0, state.centroids[l], tail_k[l],
+                tail_v[l], tail_len, nprobe, T)
+            blocks = store.gather_clusters(
+                l, np.asarray(top_all).reshape(B, T * nprobe))
+            blocks = jnp.asarray(blocks).reshape(B, T, nprobe, 2, cap, HD)
+            mem_ok = jax.vmap(lambda a, i: a[i])(
+                state.member_valid[l], top_all.reshape(B, T * nprobe))
+            mem_ok = mem_ok.reshape(B, T, nprobe * cap)
+            x_all = _spec_verify_l2(lp, config, x_all, q_all, blocks, mem_ok,
+                                    tail_k[l], tail_v[l], tail_len, T)
+            # next round's draft working set: the newest token's blocks
+            draft_k[l] = blocks[:, T - 1, :, 0].reshape(B, NS, HD)
+            draft_v[l] = blocks[:, T - 1, :, 1].reshape(B, NS, HD)
+            draft_ok[l] = mem_ok[:, T - 1]
+        target_tokens = target_argmax(params, x_all)
+
+        accept, bonus, output, gen_counts, terminal, acc = _accept_and_update(
+            buffer, target_tokens, eot, gamma, output, gen_counts)
+        tail_len = tail_len + accept
+        tok = bonus
+        rounds += 1
+        accepted += int(acc)
+        if bool(terminal):
+            break
+    idx = jnp.minimum(gen_counts, output.shape[1] - 1)
+    output = output.at[jnp.arange(B), idx].set(tok[:, 0])
+    new_state = OffloadState(
+        centroids=state.centroids, member_valid=state.member_valid,
+        tail_k=jnp.stack(tail_k), tail_v=jnp.stack(tail_v),
+        tail_len=tail_len, tail_base=state.tail_base,
+        prefix_len=state.prefix_len)
+    stats = dict(rounds=rounds, accepted_drafts=accepted,
+                 total_drafted=rounds * B * gamma,
+                 generated=int(jnp.sum(gen_counts + 1)))
+    return output, new_state, stats
 
 
 class HostBlockStore:

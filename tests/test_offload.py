@@ -74,3 +74,24 @@ def test_hostloop_decode_equals_io_callback_decode():
     out_hl, _ = offload.offload_generate_hostloop(
         params, CFG, state, store, buffer0, NEW, nprobe=NPROBE, cap=CAP)
     np.testing.assert_array_equal(np.asarray(out_cb), np.asarray(out_hl))
+
+
+def test_spec_over_offload_lossless_vs_hostloop():
+    """Speculation over the offloaded store: the emitted stream must equal
+    the AR hostloop's stream position-for-position (the verify runs the
+    exact per-token clustered-attention program, so greedy acceptance is
+    lossless), while issuing one host gather per LAYER per ROUND instead of
+    per token."""
+    params, store, state, buffer0 = _setup()
+    out_ar, _ = offload.offload_generate_hostloop(
+        params, CFG, state, store, buffer0, NEW, nprobe=NPROBE, cap=CAP)
+    before = store.buf.gathered_slots
+    out_sp, _, stats = offload.offload_generate_spec(
+        params, CFG, state, store, buffer0, NEW, gamma=3, nprobe=NPROBE,
+        cap=CAP)
+    n = NEW
+    np.testing.assert_array_equal(np.asarray(out_sp)[:, :n],
+                                  np.asarray(out_ar)[:, :n])
+    # host-hop economy: gathers happen per (layer, round), not per token
+    assert stats["rounds"] * CFG.n_layer * B * (3 + 1) * NPROBE \
+        == store.buf.gathered_slots - before
