@@ -177,7 +177,7 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     n_pages = max(budget // page - latest_k // page, 1)
     NS = n_pages * page
     keep = latest_k
-    Wcap = keep + 8 * (gamma + 2)
+    Wcap = -(-(keep + 8 * (gamma + 2)) // 8) * 8
     trigger = Wcap - (gamma + 2)
     bufk, bufv, colmask, tail_len, tail_base = init_tail(cache, NS, Wcap,
                                                          keep)

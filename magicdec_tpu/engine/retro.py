@@ -40,6 +40,12 @@ from magicdec_tpu.ops.rope import rope
 
 NEG_INF = -1e30
 
+# generations up to this many tokens keep every generated row in the tail
+# window (no in-loop index maintenance); longer ones fold aged rows into the
+# cluster index per round (update_cluster_index) — see
+# _roundtail_generate_fused. Tests monkeypatch this to force the fold path.
+TAIL_COVERS_MAX = 256
+
 
 @functools.partial(jax.jit, static_argnames=("config", "n_clusters", "cap"))
 def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
@@ -463,14 +469,28 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
     index_state (loop-carried pytree) + update_index(index_state, cache,
     old_base, new_base): keeps the retrieval index fresh — when compaction
     ages rows out of the tail window, they are folded into the index so the
-    draft can still select them (update_cluster_index)."""
+    draft can still select them (update_cluster_index).
+
+    Short generations (max_new_tokens <= 256, incl. the reference's 80-token
+    protocol) instead widen the tail window to cover the WHOLE generation:
+    nothing ages out, so no in-loop index maintenance runs at all — and the
+    draft ALWAYS attends every generated token, which is exactly the
+    reference wrapper's semantics (it re-attends the whole updated prefix
+    each speculate, RetrievalAttention/backend.py:113-129). The index fold
+    is the long-generation path: an unconditional per-round fold costs
+    ~20 ms/round (gather+scatter over the store), and a lax.cond around a
+    multi-GB carried store makes XLA materialize select-copies."""
     from magicdec_tpu.engine import attention_impls as impls
     from magicdec_tpu.engine.spec import _accept_and_update
 
     max_len = cache.k.shape[2]
+    if max_new_tokens <= TAIL_COVERS_MAX:
+        keep = keep + max_new_tokens + gamma + 1
+        update_index = None
     # slack >> one round's appends: the compaction gather then amortizes
-    # over ~8 rounds instead of firing every round
-    Wcap = keep + 8 * (gamma + 2)
+    # over ~8 rounds instead of firing every round; rounded up so the
+    # round buffer's column count stays TPU-tile (8) aligned
+    Wcap = -(-(keep + 8 * (gamma + 2)) // 8) * 8
     trigger = Wcap - (gamma + 2)
     bufk, bufv, colmask, tail_len, tail_base = init_tail(cache, NS, Wcap,
                                                          keep)
@@ -489,11 +509,11 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
             bufk, bufv, tail_len, tail_base, NS=NS, keep=keep,
             trigger=trigger)
         if update_index is not None:
-            index_state = jax.lax.cond(
-                jnp.any(tail_base > old_base),
-                lambda a: update_index(a[0], cache, a[1], a[2]),
-                lambda a: a[0],
-                (index_state, old_base, tail_base))
+            # UNconditional: when nothing aged out the row mask is empty and
+            # the scatters write nothing — a lax.cond here would make XLA
+            # materialize select-copies of the carried store (OOM at B=128)
+            index_state = update_index(index_state, cache, old_base,
+                                       tail_base)
         lenT0, tlen0 = cache.lengths, tail_len
         select_gather_fn = make_select_gather(tail_base, index_state)
         ck, cv, bufk, bufv, colmask, buffer = roundtail_draft_loop(
@@ -548,7 +568,8 @@ def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     kv_store = (build_clustered_store(cache, cluster_slots, cap)
                 if jax.default_backend() == "tpu" else None)
     counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
-    age_max = recent + 8 * (gamma + 2)   # == the loop's Wcap bound on shift
+    # shift per compaction <= tail_len - keep <= Wcap - 1 - keep
+    age_max = 8 * (gamma + 2)
 
     indexed_upto = cache.lengths      # the index covers the prefill
 

@@ -95,7 +95,8 @@ def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
     kv_store = (build_clustered_store(cache, cluster_slots, cap)
                 if jax.default_backend() == "tpu" else None)
-    age_max = recent + 8 * (gamma + 2)
+    # shift per compaction <= tail_len - keep <= Wcap - 1 - keep
+    age_max = 8 * (gamma + 2)
 
     indexed_upto = cache.lengths      # the index covers the prefill
 

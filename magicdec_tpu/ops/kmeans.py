@@ -27,30 +27,35 @@ def kmeans(x: jax.Array, valid: jax.Array, n_clusters: int, iters: int = 8,
     get assignment C-1... their contribution is masked everywhere).
     Initialization: strided sample of valid points (deterministic).
     """
-    xf = x.astype(jnp.float32)
+    # x stays in its storage dtype: materializing an f32 copy of a full
+    # bf16 KV cache costs +4.25 GB at B=128/S=2176/8L (the OOM that capped
+    # retro/squeeze) — the dot accumulates in f32 on the MXU anyway
     N = x.shape[-2]
     C = n_clusters
     # deterministic spread init: every (N // C)-th slot (valid-dense prefixes
     # make this a stratified sample)
     idx = (jnp.arange(C) * max(N // C, 1)) % N
-    cent = jnp.take(xf, idx, axis=-2)                      # [..., C, D]
+    cent = jnp.take(x, idx, axis=-2).astype(jnp.float32)   # [..., C, D]
+
+    def dist(cent):
+        # |x|^2 - 2 x.c + |c|^2 up to the x-constant term; argmin over C
+        return (-2.0 * jnp.einsum("...nd,...cd->...nc", x,
+                                  cent.astype(x.dtype),
+                                  preferred_element_type=jnp.float32)
+                + jnp.sum(cent * cent, axis=-1)[..., None, :])
 
     def step(cent, _):
-        # distances via |x|^2 - 2 x.c + |c|^2; argmin over C
-        d = (-2.0 * jnp.einsum("...nd,...cd->...nc", xf, cent)
-             + jnp.sum(cent * cent, axis=-1)[..., None, :])
-        assign = jnp.argmin(d, axis=-1)                    # [..., N]
-        onehot = jax.nn.one_hot(assign, C, dtype=jnp.float32)
-        onehot = onehot * valid[..., None]
-        counts = jnp.sum(onehot, axis=-2)                  # [..., C]
-        sums = jnp.einsum("...nc,...nd->...cd", onehot, xf)
+        assign = jnp.argmin(dist(cent), axis=-1)           # [..., N]
+        onehot = jax.nn.one_hot(assign, C, dtype=x.dtype)
+        onehot = onehot * valid[..., None].astype(x.dtype)
+        counts = jnp.sum(onehot.astype(jnp.float32), axis=-2)  # [..., C]
+        sums = jnp.einsum("...nc,...nd->...cd", onehot, x,
+                          preferred_element_type=jnp.float32)
         new_cent = sums / jnp.maximum(counts, 1.0)[..., None]
         # keep old centroid for empty clusters
         cent = jnp.where((counts > 0)[..., None], new_cent, cent)
         return cent, None
 
     cent, _ = jax.lax.scan(step, cent, None, length=iters)
-    d = (-2.0 * jnp.einsum("...nd,...cd->...nc", xf, cent)
-         + jnp.sum(cent * cent, axis=-1)[..., None, :])
-    assign = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    assign = jnp.argmin(dist(cent), axis=-1).astype(jnp.int32)
     return cent, assign

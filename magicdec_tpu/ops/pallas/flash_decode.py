@@ -142,8 +142,12 @@ def _flash_body(bi, cls, col, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr,
             # does not neutralize NaN garbage (NaN + NEG_INF = NaN)
             k = jnp.where(row < s_real, k, jnp.zeros_like(k))
             v = jnp.where(row < s_real, v, jnp.zeros_like(v))
+        # precision pinned: an ambient default_matmul_precision("highest")
+        # (training contexts) would ask Mosaic for a 3-pass bf16 matmul it
+        # cannot emit ("Bad lhs type"); the kernel owns its numerics
         s = jax.lax.dot_general(qd, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
         s = s + pen_scr[...]
         m_old = m_scr[bi]                                    # [M, 1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
@@ -153,7 +157,8 @@ def _flash_body(bi, cls, col, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr,
         l_scr[bi] = l_scr[bi] * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(p.astype(v.dtype), v,
                                  (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
         acc_scr[bi] = acc_scr[bi] * alpha + pv               # [M, Hkv*D]
 
     @pl.when(sblk == n_sblk - 1)
@@ -204,7 +209,8 @@ def _flash_body_inline(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
     v_blk = jnp.where(row < s_real, v_blk, jnp.zeros_like(v_blk))
 
     s = jax.lax.dot_general(qd, k_blk, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT) * scale
     s = jnp.where(mask, s, NEG_INF)
     m_old = m_scr[bi]                                    # [M, 1]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
@@ -214,7 +220,8 @@ def _flash_body_inline(bi, a, lo, hi, qd, k_blk, v_blk, o_ref, m_scr, l_scr,
     l_scr[bi] = l_scr[bi] * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
     acc_scr[bi] = acc_scr[bi] * alpha + pv               # [M, Hkv*D]
 
     @pl.when(sblk == n_sblk - 1)
@@ -341,6 +348,8 @@ def flash_decode_intervals(q, k_cache, v_cache, sink_end, lo, hi, *,
     """
     B, T, Hq, D = q.shape
     S, HD = k_cache.shape[1], k_cache.shape[2]
+    if q.dtype != k_cache.dtype:
+        q = q.astype(k_cache.dtype)   # Mosaic rejects mixed-dtype matmuls
     Hkv = HD // D
     G = Hq // Hkv
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
@@ -432,6 +441,8 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
     """
     B, T, Hq, D = q.shape
     L, _, S, HD = k_cache.shape
+    if q.dtype != k_cache.dtype:
+        q = q.astype(k_cache.dtype)   # Mosaic rejects mixed-dtype matmuls
     Hkv = HD // D
     G = Hq // Hkv
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)
@@ -539,6 +550,8 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
     """
     B, T, Hq, D = q.shape
     L, _, S, HD = k_cache.shape
+    if q.dtype != k_cache.dtype:
+        q = q.astype(k_cache.dtype)   # Mosaic rejects mixed-dtype matmuls
     Hkv = HD // D
     G = Hq // Hkv
     hg = min(hg_size, Hkv)
@@ -663,6 +676,8 @@ def flash_decode_stacked_masked(q, k_cache, v_cache, layer, colmask,
     """
     B, T, Hq, D = q.shape
     L, _, S, HD = k_cache.shape
+    if q.dtype != k_cache.dtype:
+        q = q.astype(k_cache.dtype)   # Mosaic rejects mixed-dtype matmuls
     Hkv = HD // D
     G = Hq // Hkv
     qd, TG, TG_pad, eye = _embed_q(q, Hkv, G, D)

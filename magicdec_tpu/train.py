@@ -122,8 +122,11 @@ def _target_last_kv(params, config: ModelArgs, tokens):
     from magicdec_tpu.engine import attention_impls as impls
 
     B, T = tokens.shape
+    # cache in the PARAM dtype: a bf16 target with an f32 cache feeds the
+    # flash prefill kernel a mixed-dtype matmul, which Mosaic rejects
+    dtype = params["layers"]["wqkv"].dtype
     cache = KVCache.create(config.n_layer, B, T, config.n_kv_head,
-                           config.head_dim, jnp.float32)
+                           config.head_dim, dtype)
     impl = impls.target_attn(config, cache.lengths)
     _, (ck, cv) = llama.forward(params, config, tokens, impl,
                                 (cache.k, cache.v))

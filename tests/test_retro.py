@@ -193,10 +193,12 @@ def test_update_cluster_index_appends_aged_rows():
     np.testing.assert_array_equal(np.asarray(c2), nc)
 
 
-def test_retro_lossless_past_tail_window(setup):
-    """Generate far past latest_k so compaction ages rows out of the tail
-    repeatedly — the losslessness invariant must survive the in-loop index
-    updates (and the draft can still select the aged rows)."""
+def test_retro_lossless_past_tail_window(setup, monkeypatch):
+    """Generate far past latest_k on the LONG-GENERATION path (the tail
+    window forced small): compaction ages rows out repeatedly, the in-loop
+    index fold keeps them selectable, and the losslessness invariant must
+    survive it."""
+    monkeypatch.setattr(retro_lib, "TAIL_COVERS_MAX", 0)
     params, prompt, _ = setup
     NEW_LONG = 72
     ar = Engine(CFG, params, batch_size=B, max_len=P + NEW_LONG + 16,
@@ -209,4 +211,18 @@ def test_retro_lossless_past_tail_window(setup):
     out, counts, stats = generate_selfspec(eng, prompt, GAMMA, NEW_LONG)
     n = min(int(counts.min()), NEW_LONG)
     assert n > 32   # generated past the tail window
+    np.testing.assert_array_equal(np.asarray(out)[:, :n], base[:, :n])
+
+
+def test_retro_lossless_tail_covers_generation(setup):
+    """The short-generation path (tail widened to cover every generated
+    token, no in-loop index maintenance — the reference wrapper's
+    always-attend semantics) must be lossless too."""
+    params, prompt, _ = setup
+    eng = Engine(CFG, params, batch_size=B, max_len=P + NEW + GAMMA + 16,
+                 spec="retro", draft_budget=256, latest_k=32,
+                 prefill_chunk=128, retro_cap=16)
+    out, counts, stats = generate_selfspec(eng, prompt, GAMMA, NEW)
+    n = min(int(counts.min()), NEW)
+    base = setup[2]
     np.testing.assert_array_equal(np.asarray(out)[:, :n], base[:, :n])
