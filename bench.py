@@ -5,8 +5,9 @@ tests/SnapKV/selfspec_benchmark.py:117,233,272,283): fixed tokens per
 sequence, greedy (argmax) acceptance, warmup batch discarded,
 tokens/s = generated_tokens / total_time. The headline number is
 (spec tokens/s) / (autoregressive tokens/s) at the same batch and prefix —
-the quantity the reference publishes (BASELINE.md; 1.22x for Llama-3.1-8B
-self-spec B=32 P=32000 gamma=3 on 8xA100, up to 2.0x).
+the quantity the reference publishes (BASELINE.md). The default config is
+the reference's FLAGSHIP regime: prefill 32768 self-spec (its best
+published number there is 2.0x, Llama-2-7B B=32 g=4 on 8xA100).
 
 No checkpoints are downloadable in this environment, and random weights give
 meaningless (chaotic-argmax) acceptance — so the benchmark TRAINS a real
@@ -18,7 +19,7 @@ is held out (different seed): acceptance reflects true in-context behavior.
 
 Prints ONE JSON line:
   {"metric": ..., "value": spec/AR tokens-per-s ratio, "unit": "x",
-   "vs_baseline": value / 1.22}
+   "vs_baseline": value / REFERENCE_SPEEDUP}
 """
 
 from __future__ import annotations
@@ -32,7 +33,10 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-REFERENCE_SPEEDUP = 1.22  # BASELINE.md: Llama-3.1-8B selfspec B=32 P=32000 g=3
+# the reference's BEST published number, at its flagship regime (prefill
+# 32000): 2.0x, Llama-2-7B self-spec B=32 g=4 on 8xA100 (BASELINE.md,
+# index.html table1). The default config below matches that regime.
+REFERENCE_SPEEDUP = 2.0
 
 BENCH_MODEL = dict(block_size=8192, vocab_size=4096, n_layer=8, n_head=16,
                    n_kv_head=8, dim=1024, intermediate_size=2816,
@@ -107,11 +111,11 @@ def get_glide_block(params, config, train_seq: int, steps: int, seed: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--B", type=int, default=128)
-    p.add_argument("--prefix_len", type=int, default=2048)
+    p.add_argument("--B", type=int, default=8)
+    p.add_argument("--prefix_len", type=int, default=32768)
     p.add_argument("--gen_len", type=int, default=80)
     p.add_argument("--gamma", type=int, default=6)
-    p.add_argument("--draft_budget", type=int, default=128)
+    p.add_argument("--draft_budget", type=int, default=1024)
     p.add_argument("--window_size", type=int, default=32)
     p.add_argument("--spec", default="snapkv",
                    choices=["snapkv", "streaming", "quest", "retro",
@@ -130,7 +134,7 @@ def main():
                    help="weight-only quantization for BOTH baseline and spec "
                         "(reference --quantize parity); KV stays bf16")
     p.add_argument("--train_steps", type=int, default=1200)
-    p.add_argument("--train_seq", type=int, default=1024,
+    p.add_argument("--train_seq", type=int, default=2048,
                    help="bench-model training sequence length")
     p.add_argument("--tier", default="base", choices=["base", "deep"],
                    help="bench model size tier (deep = 16L/1024d)")

@@ -597,14 +597,32 @@ def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
             tail_k, tail_v, tail_len, gamma)
 
         x_all = emb(params, buffer)
+        C = state.centroids.shape[2]
+        U = min(C, T * nprobe)
         for l in range(L):
             lp = jax.tree.map(lambda a: a[l], params["layers"])
             q_all, top_all, tail_k[l], tail_v[l] = _spec_verify_l1(
                 lp, config, x_all, pos0, state.centroids[l], tail_k[l],
                 tail_v[l], tail_len, nprobe, T)
-            blocks = store.gather_clusters(
-                l, np.asarray(top_all).reshape(B, T * nprobe))
-            blocks = jnp.asarray(blocks).reshape(B, T, nprobe, 2, cap, HD)
+            # UNION-dedup fetch: adjacent verify tokens select overlapping
+            # clusters, and the host->device link is bytes-bound (measured
+            # ~2 s per 12.6 MB hop through the tunnel) — fetch each unique
+            # cluster once, then reconstruct the exact per-token block
+            # layout with an on-device gather, so the attention numerics
+            # (and the AR bit-equality) are untouched
+            top_np = np.asarray(top_all).reshape(B, T * nprobe)
+            union = np.zeros((B, U), np.int64)
+            posmap = np.zeros((B, T * nprobe), np.int32)
+            for b in range(B):
+                u = np.unique(top_np[b])[:U]
+                union[b, :len(u)] = u
+                union[b, len(u):] = u[-1] if len(u) else 0
+                posmap[b] = np.minimum(np.searchsorted(u, top_np[b]),
+                                       max(len(u) - 1, 0))
+            blocks_u = jnp.asarray(store.gather_clusters(l, union))
+            blocks = jax.vmap(lambda a, i: a[i])(blocks_u,
+                                                 jnp.asarray(posmap))
+            blocks = blocks.reshape(B, T, nprobe, 2, cap, HD)
             mem_ok = jax.vmap(lambda a, i: a[i])(
                 state.member_valid[l], top_all.reshape(B, T * nprobe))
             mem_ok = mem_ok.reshape(B, T, nprobe * cap)
