@@ -138,6 +138,9 @@ def main():
                    help="bench-model training sequence length")
     p.add_argument("--tier", default="base", choices=["base", "deep"],
                    help="bench model size tier (deep = 16L/1024d)")
+    p.add_argument("--quest_page", type=int, default=128,
+                   help="quest page granularity (smaller pages = finer "
+                        "selection, smaller effective budget floor)")
     p.add_argument("--retro_cap", type=int, default=32,
                    help="retro/squeeze cluster capacity (memory rows per "
                         "cluster; larger cap = fewer DMA descriptors per "
@@ -245,7 +248,8 @@ def main():
         engine = Engine(config, params, batch_size=args.B, max_len=max_len,
                         spec=args.spec, draft_budget=args.draft_budget,
                         window_size=args.window_size, prefill_chunk=128,
-                        retro_cap=args.retro_cap)
+                        retro_cap=args.retro_cap,
+                        quest_page=args.quest_page)
 
         def run(ids):
             engine.clear_kv()
@@ -274,6 +278,8 @@ def main():
                       if args.spec == "glide_tree" else "")
                    + (f"_{args.quant}" if args.quant else "")
                    + (f"_cap{args.retro_cap}" if args.retro_cap != 32
+                      else "")
+                   + (f"_pg{args.quest_page}" if args.quest_page != 128
                       else "")
                    + (f"_{args.tier}" if args.tier != "base" else "")
                    + (f"_ts{args.train_seq}" if args.train_seq != 1024

@@ -186,6 +186,7 @@ class Engine:
                  max_len: int, spec: Optional[str] = None, draft_budget: int = 0,
                  window_size: int = 32, sink_size: int = 16,
                  latest_k: int = 128, draft_headroom: int = 64,
+                 quest_page: int = 128,
                  prefill_chunk: int = 128, kv_dtype=None, mesh=None,
                  replicate_tp: bool = False,
                  retro_clusters: int = 0, retro_cap: int = 32,
@@ -204,6 +205,7 @@ class Engine:
         self.window_size = window_size
         self.sink_size = sink_size
         self.latest_k = latest_k
+        self.quest_page = quest_page
         self.retro_cap = retro_cap
         # reference sizing is n_clusters = ctx/16 (RetrievalAttention
         # benchmark/config.py:17-56); ctx/32 with cap=32 halves it so the

@@ -328,9 +328,7 @@ def roundtail_select_attn(config: ModelArgs, lengths_before: jax.Array,
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
-
+        # no target-cache write: verify dual-writes these slots
         k_sel, v_sel, sel_slots = select_gather_fn(q, ck, cv, l)
         bufk = jax.lax.dynamic_update_slice(
             bufk, k_sel[None].astype(bufk.dtype), (l, 0, 0, 0))
@@ -353,7 +351,10 @@ def roundtail_select_attn(config: ModelArgs, lengths_before: jax.Array,
 def roundtail_draft_attn(config: ModelArgs, lengths_before: jax.Array,
                          tail_len_before, *, NS: int, mesh=None):
     """attn_impl for draft steps 2..gamma: append to the tail, attend the
-    round buffer — no gather, no scoring, no target-cache reads.
+    round buffer — no gather, no scoring, no target-cache reads OR writes
+    (speculated K/V live only in the tail; the verify recomputes them and
+    dual-writes the target cache at the same slots, so a draft-side target
+    write would be dead — removing it saves 2 scatters x n_layer per step).
     caches = (ck, cv, bufk, bufv, colmask)."""
 
     def impl(q, k, v, caches, l):
@@ -362,8 +363,6 @@ def roundtail_draft_attn(config: ModelArgs, lengths_before: jax.Array,
         positions = lengths_before[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         q = rope(config, q, positions)
         k = rope(config, k, positions)
-        ck = cache_lib.append_at_layer(ck, k, lengths_before, l)
-        cv = cache_lib.append_at_layer(cv, v, lengths_before, l)
         bufk = cache_lib.append_at_layer(bufk, k, NS + tail_len_before, l)
         bufv = cache_lib.append_at_layer(bufv, v, NS + tail_len_before, l)
         ctx = _tail_attend(config, q, bufk, bufv, colmask, l,

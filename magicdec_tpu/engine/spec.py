@@ -422,7 +422,8 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
                  accepted) = quest_generate_fused(
                     engine.params, engine.config, engine.cache, buffer0,
                     output, gen_counts, eot, gamma, max_new_tokens,
-                    engine.draft_budget, engine.latest_k, mesh=engine.mesh)
+                    engine.draft_budget, engine.latest_k,
+                    page=engine.quest_page, mesh=engine.mesh)
             else:
                 from magicdec_tpu.engine.retro import retro_generate_fused
                 recent = engine.latest_k
