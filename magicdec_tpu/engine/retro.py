@@ -67,9 +67,16 @@ def build_cluster_index(config: ModelArgs, cache: KVCache, n_clusters: int,
     L, B, S, HD = cache.k.shape
     slot = jnp.arange(S, dtype=jnp.int32)
     valid = (slot[None, :] < cache.lengths[:, None]).astype(jnp.float32)
-    valid = jnp.broadcast_to(valid[None], (L, B, S))
-    cent, assign = kmeans(cache.k, valid, n_clusters)      # [L,B,C,HD], [L,B,S]
-    slots = member_slot_table(assign, valid, n_clusters, cap)
+
+    # layer-by-layer scan: the Lloyd distance matrix and the member one-hot
+    # are [B, S, C] transients — materializing them for ALL layers at once
+    # is O(L*B*S*C) and OOMs at long context (8.7 GB at P=32k, C=S/32)
+    def per_layer(_, k_l):
+        cent_l, assign_l = kmeans(k_l, valid, n_clusters)
+        slots_l = member_slot_table(assign_l, valid, n_clusters, cap)
+        return None, (cent_l, slots_l)
+
+    _, (cent, slots) = jax.lax.scan(per_layer, None, cache.k)
     return cent, slots
 
 
@@ -414,6 +421,11 @@ def retro_select_gather_fn(config: ModelArgs, centroids, cluster_slots,
             centroid_scores_sharded, centroid_scores_xla)
         B = q.shape[0]
         C = centroids.shape[2]
+        import os  # DIAG knob (profiling only)
+        if os.environ.get("MD_DIAG_NO_SELECT"):
+            top = jnp.broadcast_to(jnp.arange(nprobe, dtype=jnp.int32)[None],
+                                   (B, nprobe))
+            return top, jnp.ones(top.shape, bool)
         cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
         if jax.default_backend() == "tpu":
             scores = centroid_scores_sharded(q, cent, mesh=mesh)
@@ -500,9 +512,18 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
                 & (jnp.min(gen_counts) < max_new_tokens)
                 & (jnp.max(cache.lengths) + gamma + 1 <= max_len))
 
+    # when no in-loop index maintenance runs (the tail-covers path), the
+    # index must NOT ride the while carry: XLA materializes carry copies of
+    # the multi-GB KV-fused store every round (measured ~48 ms/round at
+    # P=32k) — close over it as a constant instead
+    carry_index = update_index is not None
+    const_index = None if carry_index else index_state
+
     def body(state):
         (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
          rounds, terminal, accepted, buffer0, index_state) = state
+        if not carry_index:
+            index_state = const_index
         old_base = tail_base
         bufk, bufv, tail_len, tail_base = tail_compact(
             bufk, bufv, tail_len, tail_base, NS=NS, keep=keep,
@@ -532,11 +553,11 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
         tail_len = tlen0 + accept
         return (cache, bufk, bufv, colmask, tail_len, tail_base, output,
                 gen_counts, rounds + 1, terminal | term, accepted + acc,
-                bonus, index_state)
+                bonus, index_state if carry_index else None)
 
     state = (cache, bufk, bufv, colmask, tail_len, tail_base, output,
              gen_counts, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
-             buffer0, index_state)
+             buffer0, index_state if carry_index else None)
     state = jax.lax.while_loop(cond, body, state)
     (cache, bufk, bufv, colmask, tail_len, tail_base, output, gen_counts,
      rounds, terminal, accepted, buffer0, index_state) = state

@@ -44,10 +44,14 @@ def pack_int4_cols(w: jax.Array, group_size: int = 128):
     grouped = wf.reshape(*lead, K // group_size, group_size, N)
     absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int8)
-    q = q.reshape(*lead, K, N)
-    lo = q[..., :, : N // 2]
-    hi = q[..., :, N // 2:]
+    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int32)
+    # BIASED nibbles: store q + 8 in [0, 15] so the kernel unpacks with one
+    # mask + one shift (3 int ops per byte instead of 7 — the unpack was
+    # VPU-bound) and corrects with the rank-1 term x @ W = s*(x @ Qu) -
+    # 8*s*rowsum(x) per K-group
+    qb = (q + 8).reshape(*lead, K, N)
+    lo = qb[..., :, : N // 2]
+    hi = qb[..., :, N // 2:]
     q4 = ((hi.astype(jnp.uint8) & 0xF) << 4
           | (lo.astype(jnp.uint8) & 0xF)).astype(jnp.int8)
     return q4, scale.reshape(*lead, K // group_size, N).astype(jnp.float32)
@@ -63,11 +67,12 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, acc_lo, acc_hi, *, n_groups: int,
         acc_lo[...] = jnp.zeros_like(acc_lo)
         acc_hi[...] = jnp.zeros_like(acc_hi)
 
-    # nibble extraction in int32 (Mosaic supports vector shifts only at
-    # i32); ((v & 0xF) ^ 8) - 8 sign-extends a 4-bit value
-    q32 = q4_ref[...].astype(jnp.int32)                 # [K_blk, N_blk]
-    lo = ((jnp.bitwise_and(q32, 0xF) ^ 8) - 8).astype(jnp.bfloat16)
-    hi = ((jnp.bitwise_and(q32 >> 4, 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+    # BIASED-nibble extraction in int32 (Mosaic supports vector shifts only
+    # at i32): mask the sign-extension, then one & / one >> per half — the
+    # bias is folded out below with the rank-1 term 8 * rowsum(x_group)
+    q32 = jnp.bitwise_and(q4_ref[...].astype(jnp.int32), 0xFF)
+    lo = jnp.bitwise_and(q32, 0xF).astype(jnp.bfloat16)  # [K_blk, N_blk]
+    hi = (q32 >> 4).astype(jnp.bfloat16)
     x = x_ref[...]                                      # [M, K_blk]
     for g in range(n_groups):
         xg = x[:, g * group:(g + 1) * group]
@@ -77,14 +82,16 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, acc_lo, acc_hi, *, n_groups: int,
         srow = kb * n_groups + g
         sg_lo = s_ref[srow, : lo.shape[1]][None, :]     # [1, N_blk]
         sg_hi = s_ref[srow, lo.shape[1]:][None, :]
+        xsum8 = 8.0 * jnp.sum(xg.astype(jnp.float32), axis=1,
+                              keepdims=True)            # [M, 1]
         plo = jax.lax.dot_general(
             xg, lo[g * group:(g + 1) * group], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         phi = jax.lax.dot_general(
             xg, hi[g * group:(g + 1) * group], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc_lo[...] += plo * sg_lo
-        acc_hi[...] += phi * sg_hi
+        acc_lo[...] += (plo - xsum8) * sg_lo
+        acc_hi[...] += (phi - xsum8) * sg_hi
 
     @pl.when(kb == n_kb - 1)
     def _finish():

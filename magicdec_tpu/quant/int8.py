@@ -164,9 +164,11 @@ def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
             y = int4_matmul(x2, w.q4, w.s4)
         else:
             # reference path: unpack + scale, then matmul (storage halved,
-            # traffic not — the kernel is the TPU fast path)
-            lo = (jnp.left_shift(w.q4, 4) >> 4).astype(jnp.float32)
-            hi = (w.q4 >> 4).astype(jnp.float32)
+            # traffic not — the kernel is the TPU fast path). Nibbles are
+            # BIASED by +8 (pack_int4_cols)
+            qu = jnp.bitwise_and(w.q4.astype(jnp.int32), 0xFF)
+            lo = (jnp.bitwise_and(qu, 0xF) - 8).astype(jnp.float32)
+            hi = ((qu >> 4) - 8).astype(jnp.float32)
             qw = jnp.concatenate([lo, hi], axis=1)
             g = qw.shape[0] // w.s4.shape[0]
             wd = (qw * jnp.repeat(w.s4, g, axis=0)).astype(x.dtype)

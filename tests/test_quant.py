@@ -85,8 +85,10 @@ def test_int4_matmul_kernel_matches_dequant_oracle():
     q4, scales = pack_int4_cols(w, group_size=g)
 
     # oracle: reconstruct the dequantized weight from the packed layout
-    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.float32)
-    hi = (q4 >> 4).astype(jnp.float32)
+    # (nibbles are BIASED by +8 — pack_int4_cols)
+    qu = jnp.bitwise_and(q4.astype(jnp.int32), 0xFF)
+    lo = (jnp.bitwise_and(qu, 0xF) - 8).astype(jnp.float32)
+    hi = ((qu >> 4) - 8).astype(jnp.float32)
     qw = jnp.concatenate([lo, hi], axis=1)                    # [K, N]
     sc = jnp.repeat(scales, g, axis=0)                        # [K, N]
     w_deq = (qw * sc).astype(jnp.bfloat16)
@@ -120,8 +122,9 @@ def test_int4_matmul_non_divisible_n_block():
     q4, scales = pack_int4_cols(w, group_size=g)
     out = int4_matmul(x, q4, scales, group_size=g, n_block=512, k_block=256,
                       interpret=True)
-    lo = (jnp.left_shift(q4, 4) >> 4).astype(jnp.float32)
-    hi = (q4 >> 4).astype(jnp.float32)
+    qu = jnp.bitwise_and(q4.astype(jnp.int32), 0xFF)
+    lo = (jnp.bitwise_and(qu, 0xF) - 8).astype(jnp.float32)
+    hi = ((qu >> 4) - 8).astype(jnp.float32)
     qw = jnp.concatenate([lo, hi], axis=1)
     w_deq = (qw * jnp.repeat(scales, g, axis=0)).astype(jnp.bfloat16)
     ref = (x @ w_deq).astype(jnp.float32)
