@@ -70,29 +70,10 @@ def quest_select_gather_fn(config: ModelArgs, kmin, kmax, tail_base, *,
     G = config.n_head // Hkv
 
     def select_gather(q, ck, cv, l):
-        import os  # DIAG knobs (profiling only)
         B, T = q.shape[:2]
         S = ck.shape[2]
         P = S // page
         HD = ck.shape[3]
-        if os.environ.get("MD_DIAG_NO_SELECT"):
-            top_pages = jnp.broadcast_to(
-                jnp.arange(n_pages, dtype=jnp.int32)[None], (B, n_pages))
-            top_ok = jnp.ones((B, n_pages), bool)
-            if os.environ.get("MD_DIAG_NO_GATHER"):
-                k_sel = jnp.zeros((B, n_pages * page, HD), ck.dtype)
-                v_sel = jnp.zeros((B, n_pages * page, HD), cv.dtype)
-            else:
-                from magicdec_tpu.ops.pallas.page_gather import \
-                    page_gather_sharded
-                k_sel, v_sel = page_gather_sharded(ck, cv, l, top_pages,
-                                                   page=page, mesh=mesh)
-                k_sel = k_sel.reshape(B, n_pages * page, HD)
-                v_sel = v_sel.reshape(B, n_pages * page, HD)
-            slot_sel = (top_pages[:, :, None] * page
-                        + jnp.arange(page, dtype=jnp.int32)[None, None, :]
-                        ).reshape(B, -1)
-            return k_sel, v_sel, slot_sel
         qg = q.reshape(B, T, Hkv, G, Dh).astype(jnp.float32)
         mn = kmin[l].reshape(B, P, Hkv, Dh)
         mx = kmax[l].reshape(B, P, Hkv, Dh)

@@ -421,11 +421,6 @@ def retro_select_gather_fn(config: ModelArgs, centroids, cluster_slots,
             centroid_scores_sharded, centroid_scores_xla)
         B = q.shape[0]
         C = centroids.shape[2]
-        import os  # DIAG knob (profiling only)
-        if os.environ.get("MD_DIAG_NO_SELECT"):
-            top = jnp.broadcast_to(jnp.arange(nprobe, dtype=jnp.int32)[None],
-                                   (B, nprobe))
-            return top, jnp.ones(top.shape, bool)
         cent = centroids[l].reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
         if jax.default_backend() == "tpu":
             scores = centroid_scores_sharded(q, cent, mesh=mesh)
