@@ -233,6 +233,9 @@ class Engine:
             # (attention is per-KV-head: a dpxtp shard needs no collectives)
             # — see attention_impls._flash_stacked/_flash_intervals.
         self._create_cache()
+        # quest/retro/squeeze retrieval state, built at encode() (prefill)
+        # time like the reference's prefill-time clustering/metadata
+        self.spec_index = None
         self.draft: Optional[DraftKVCache] = None
         # quest/retro/squeeze draft straight out of the target cache
         if spec and spec not in ("quest", "retro", "squeeze"):
@@ -307,6 +310,13 @@ class Engine:
             self.draft = build_streaming_draft_step(
                 self.config, self.cache, self.draft,
                 budget=self.draft_budget, sink=self.sink_size)
+        elif self.spec in ("retro", "squeeze"):
+            from magicdec_tpu.engine.retro import build_retro_state
+            self.spec_index = build_retro_state(
+                self.config, self.cache, self.retro_clusters, self.retro_cap)
+        elif self.spec == "quest":
+            from magicdec_tpu.engine.quest import make_page_meta
+            self.spec_index = make_page_meta(self.cache, self.quest_page)
         if self.draft is not None:
             # default round-start snapshot so the decode-side API is usable
             # right after encode(); begin_spec_round() refreshes it per round
@@ -376,6 +386,7 @@ class Engine:
         if self.cache is not None:
             self.cache = self.cache.set_lengths(
                 jnp.zeros((self.batch_size,), jnp.int32))
+        self.spec_index = None
         if self.draft is not None:
             zero = jnp.zeros((self.batch_size,), jnp.int32)
             self.draft = DraftKVCache(self.draft.k, self.draft.v, zero, zero)

@@ -148,15 +148,17 @@ def update_page_meta(cache: KVCache, kmin, kmax, span_start, span: int,
     static_argnames=("config", "gamma", "max_new_tokens", "budget",
                      "latest_k", "page", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
-def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
-                         output, gen_counts, eot, gamma: int,
+def quest_generate_fused(params, config: ModelArgs, cache: KVCache, index,
+                         buffer0, output, gen_counts, eot, gamma: int,
                          max_new_tokens: int, budget: int, latest_k: int,
                          page: int = 128, mesh=None):
     """Full Quest self-spec generation as one on-device while_loop: rounds
     of [select+gather draft step, gamma-1 round-buffer draft steps,
     dual-write verify] plus incremental page-metadata refresh of the touched
     window (so pages of generated tokens stay selectable after they age out
-    of the tail window)."""
+    of the tail window). `index` = the PREFILL-BUILT (kmin, kmax) page boxes
+    (make_page_meta) — page metadata construction belongs to encode, like the
+    clustered engines' index build."""
     from magicdec_tpu.engine import attention_impls as impls
     from magicdec_tpu.engine.retro import (init_tail, roundtail_draft_loop,
                                            tail_compact)
@@ -165,7 +167,7 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
     from magicdec_tpu.models import llama
 
     max_len = cache.k.shape[2]
-    kmin, kmax = make_page_meta(cache, page)
+    kmin, kmax = index
     # the budget covers BOTH the selected pages and the forced tail window:
     # a budget below latest_k + page cannot be honored (it would silently
     # re-interpret as 1 page + latest_k tail > budget)

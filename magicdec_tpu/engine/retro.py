@@ -153,6 +153,30 @@ def build_clustered_store(cache: KVCache, cluster_slots, cap: int):
 # program as the SnapKV draft.
 
 
+def build_retro_state(config: ModelArgs, cache: KVCache, n_clusters: int,
+                      cap: int):
+    """Build the full retrieval-index state at PREFILL time: (centroids,
+    cluster_slots, kv_store|None, counts, indexed_upto).
+
+    The reference clusters during prefill too (RetroInfer's
+    prefill_update_kv_cache runs its Triton k-means inside the prefill pass,
+    Engine/RetrievalAttention/cache_hub/retroinfer_cache.py:349), so index
+    construction belongs to encode(), not the decode loop — at P=32k the
+    in-jit build (k-means over 33k keys/layer + the store gather) costs
+    hundreds of ms, which round 3 paid INSIDE the timed generation and which
+    inverted the flagship speedup (0.59x)."""
+    centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
+                                                   cap)
+    kv_store = (build_clustered_store(cache, cluster_slots, cap)
+                if jax.default_backend() == "tpu" else None)
+    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
+    # fresh buffer (not an alias of cache.lengths): the generate call donates
+    # `cache`, and an aliased lengths array in the index tuple would trip
+    # XLA's donated-buffer-reuse check (`f(donate(a), a)`)
+    indexed_upto = cache.lengths + jnp.zeros_like(cache.lengths)
+    return centroids, cluster_slots, kv_store, counts, indexed_upto
+
+
 def update_cluster_index(config: ModelArgs, cache: KVCache, centroids,
                          cluster_slots, kv_store, counts, old_base, new_base,
                          indexed_upto, *, age_max: int, cap: int):
@@ -498,6 +522,10 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
     # round buffer's column count stays TPU-tile (8) aligned
     Wcap = -(-(keep + 8 * (gamma + 2)) // 8) * 8
     trigger = Wcap - (gamma + 2)
+    # max compaction shift = tail_len - keep <= Wcap - keep (derived from the
+    # ACTUAL Wcap including its tile-alignment padding, so no aged row can
+    # fall outside the fold window and silently drop from the index)
+    age_max = Wcap - keep
     bufk, bufv, colmask, tail_len, tail_base = init_tail(cache, NS, Wcap,
                                                          keep)
 
@@ -528,7 +556,7 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
             # the scatters write nothing — a lax.cond here would make XLA
             # materialize select-copies of the carried store (OOM at B=128)
             index_state = update_index(index_state, cache, old_base,
-                                       tail_base)
+                                       tail_base, age_max)
         lenT0, tlen0 = cache.lengths, tail_len
         select_gather_fn = make_select_gather(tail_base, index_state)
         ck, cv, bufk, bufv, colmask, buffer = roundtail_draft_loop(
@@ -564,31 +592,24 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
-                     "nprobe", "recent", "mesh"),
+    static_argnames=("config", "gamma", "max_new_tokens", "cap", "nprobe",
+                     "recent", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
-def retro_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
-                         output, gen_counts, eot, gamma: int,
-                         max_new_tokens: int, n_clusters: int, cap: int,
-                         nprobe: int, recent: int, mesh=None):
-    """Full RetroInfer-style self-spec generation in one while_loop. The
-    cluster index is built once from the prefill cache; fresh tokens live in
-    the rolling tail window (`recent` rows) and, once they age out of it,
-    are folded into the index (update_cluster_index) so they stay
-    selectable for the rest of the generation. Cluster selection+gather runs
-    once per ROUND (the gather is DMA-descriptor-bound); every draft step
-    attends [gathered clusters | tail] through the flash kernel."""
-    centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
-                                                   cap)
-    kv_store = (build_clustered_store(cache, cluster_slots, cap)
-                if jax.default_backend() == "tpu" else None)
-    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
-    # shift per compaction <= tail_len - keep <= Wcap - 1 - keep
-    age_max = 8 * (gamma + 2)
+def retro_generate_fused(params, config: ModelArgs, cache: KVCache, index,
+                         buffer0, output, gen_counts, eot, gamma: int,
+                         max_new_tokens: int, cap: int, nprobe: int,
+                         recent: int, mesh=None):
+    """Full RetroInfer-style self-spec generation in one while_loop. `index`
+    is the PREFILL-BUILT retrieval state from build_retro_state (the
+    reference also clusters at prefill); fresh tokens live in the rolling
+    tail window (`recent` rows) and, once they age out of it, are folded into
+    the index (update_cluster_index) so they stay selectable for the rest of
+    the generation. Cluster selection+gather runs once per ROUND (the gather
+    is DMA-descriptor-bound); every draft step attends
+    [gathered clusters | tail] through the flash kernel."""
+    centroids, cluster_slots, kv_store, counts, indexed_upto = index
 
-    indexed_upto = cache.lengths      # the index covers the prefill
-
-    def update_index(index_state, cache, old_base, new_base):
+    def update_index(index_state, cache, old_base, new_base, age_max):
         slots, store, cnts = index_state
         return update_cluster_index(config, cache, centroids, slots, store,
                                     cnts, old_base, new_base, indexed_upto,

@@ -402,9 +402,16 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
 
     stats = SpecStats()
     jax.block_until_ready(buffer0)
+    if engine.spec_index is not None:
+        # the index build dispatched at encode() time must FINISH before the
+        # timer starts, or the device queue silently charges it to the timed
+        # generation (it belongs to prefill, like the reference's in-prefill
+        # clustering — retroinfer_cache.py:349)
+        jax.block_until_ready(engine.spec_index)
     t0 = time.perf_counter()
     if fused:
         if engine.spec in ("quest", "retro", "squeeze"):
+            index = engine.spec_index
             if engine.spec == "squeeze":
                 from magicdec_tpu.engine.squeeze import squeeze_generate_fused
                 recent = engine.latest_k
@@ -412,16 +419,16 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
                     (engine.draft_budget - recent) // engine.retro_cap, 1)
                 (engine.cache, output, gen_counts, rounds,
                  accepted) = squeeze_generate_fused(
-                    engine.params, engine.config, engine.cache, buffer0,
-                    output, gen_counts, eot, gamma, max_new_tokens,
-                    engine.retro_clusters, engine.retro_cap, max_clusters,
+                    engine.params, engine.config, engine.cache, index,
+                    buffer0, output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.retro_cap, max_clusters,
                     engine.squeeze_threshold, recent, mesh=engine.mesh)
             elif engine.spec == "quest":
                 from magicdec_tpu.engine.quest import quest_generate_fused
                 (engine.cache, output, gen_counts, rounds,
                  accepted) = quest_generate_fused(
-                    engine.params, engine.config, engine.cache, buffer0,
-                    output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.params, engine.config, engine.cache, index,
+                    buffer0, output, gen_counts, eot, gamma, max_new_tokens,
                     engine.draft_budget, engine.latest_k,
                     page=engine.quest_page, mesh=engine.mesh)
             else:
@@ -431,10 +438,11 @@ def generate_selfspec(engine: Engine, input_ids, gamma: int,
                              1)
                 (engine.cache, output, gen_counts, rounds,
                  accepted) = retro_generate_fused(
-                    engine.params, engine.config, engine.cache, buffer0,
-                    output, gen_counts, eot, gamma, max_new_tokens,
-                    engine.retro_clusters, engine.retro_cap, nprobe, recent,
+                    engine.params, engine.config, engine.cache, index,
+                    buffer0, output, gen_counts, eot, gamma, max_new_tokens,
+                    engine.retro_cap, nprobe, recent,
                     mesh=engine.mesh)
+            engine.spec_index = None
             jax.block_until_ready(output)
             stats.wall_time_s = time.perf_counter() - t0
             stats.rounds = int(rounds)

@@ -28,8 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from magicdec_tpu.cache import KVCache
-from magicdec_tpu.engine.retro import (build_cluster_index,
-                                       build_clustered_store)
 from magicdec_tpu.models.config import ModelArgs
 
 NEG_INF = -1e30
@@ -73,34 +71,29 @@ def squeeze_select_fn(config: ModelArgs, centroids, counts, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "gamma", "max_new_tokens", "n_clusters", "cap",
+    static_argnames=("config", "gamma", "max_new_tokens", "cap",
                      "max_clusters", "recent", "mesh"),
     donate_argnames=("cache", "output", "gen_counts"))
-def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, buffer0,
-                           output, gen_counts, eot, gamma: int,
-                           max_new_tokens: int, n_clusters: int, cap: int,
+def squeeze_generate_fused(params, config: ModelArgs, cache: KVCache, index,
+                           buffer0, output, gen_counts, eot, gamma: int,
+                           max_new_tokens: int, cap: int,
                            max_clusters: int, threshold: float, recent: int,
                            mesh=None):
     """Full SqueezedAttention-style self-spec generation (one while_loop):
     the retro round-buffer + tail machinery with the mass-threshold
-    selection rule plugged in as select_fn. Rows aging out of the tail
-    window are folded into the cluster index (update_cluster_index), and the
-    mass estimate uses the LIVE member counts."""
+    selection rule plugged in as select_fn. `index` is the PREFILL-BUILT
+    retrieval state (retro.build_retro_state — the upstream clusters OFFLINE,
+    squeezedattention/clustering.py:12-101, so prefill-time construction is
+    the faithful placement). Rows aging out of the tail window are folded
+    into the cluster index (update_cluster_index), and the mass estimate uses
+    the LIVE member counts."""
     from magicdec_tpu.engine.retro import (_roundtail_generate_fused,
                                            retro_select_gather_fn,
                                            update_cluster_index)
 
-    centroids, cluster_slots = build_cluster_index(config, cache, n_clusters,
-                                                   cap)
-    counts = jnp.sum(cluster_slots >= 0, axis=-1).astype(jnp.int32)
-    kv_store = (build_clustered_store(cache, cluster_slots, cap)
-                if jax.default_backend() == "tpu" else None)
-    # shift per compaction <= tail_len - keep <= Wcap - 1 - keep
-    age_max = 8 * (gamma + 2)
+    centroids, cluster_slots, kv_store, counts, indexed_upto = index
 
-    indexed_upto = cache.lengths      # the index covers the prefill
-
-    def update_index(index_state, cache, old_base, new_base):
+    def update_index(index_state, cache, old_base, new_base, age_max):
         slots, store, cnts = index_state
         return update_cluster_index(config, cache, centroids, slots, store,
                                     cnts, old_base, new_base, indexed_upto,
