@@ -31,7 +31,8 @@ class ModelArgs:
     dim: int = 4096
     intermediate_size: Optional[int] = None
     n_kv_head: int = -1          # GQA KV heads (reference calls this n_local_heads)
-    head_dim: int = 64
+    head_dim: int = -1           # -1 -> derived as dim // n_head; explicit for
+                                 # padded-head TP configs (sharding.pad_model_for_tp)
     rope_base: float = 10000.0
     norm_eps: float = 1e-5
     # Rope scaling. scaling_factor==1.0 -> plain rope.
@@ -51,13 +52,16 @@ class ModelArgs:
         if self.intermediate_size is None:
             hidden = int(2 * (4 * self.dim) / 3)
             object.__setattr__(self, "intermediate_size", find_multiple(hidden, 256))
-        object.__setattr__(self, "head_dim", self.dim // self.n_head)
+        if self.head_dim == -1:
+            object.__setattr__(self, "head_dim", self.dim // self.n_head)
 
     @property
     def use_llama31_rope(self) -> bool:
         return self.low_freq_factor is not None and self.high_freq_factor is not None
 
     def replace(self, **kw) -> "ModelArgs":
+        if ("dim" in kw or "n_head" in kw) and "head_dim" not in kw:
+            kw["head_dim"] = -1          # re-derive from the new dim/n_head
         return dataclasses.replace(self, **kw)
 
     @classmethod

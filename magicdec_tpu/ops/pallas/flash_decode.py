@@ -275,8 +275,9 @@ def _pick_b_block(B: int, s_block: int, HD: int, itemsize: int = 2,
     # qd + out (bf16) + f32 acc scratch; negligible at decode M but decisive
     # for prefill chunks (M = Hkv * T * G reaches thousands of rows)
     per_b += M * HD * (2 * itemsize + 4)
-    budget = vmem_budget - M * s_block * 4       # shared penalty scratch
-    b = max(1, min(16, budget // max(per_b, 1)))
+    # NB: only the decode kernels (_flash_body_inline, no penalty scratch)
+    # call this; flash_prefill sizes its own BB including pen_scr
+    b = max(1, min(16, vmem_budget // max(per_b, 1)))
     while B % b:
         b -= 1
     return b

@@ -54,12 +54,55 @@ def make_multihost_mesh(tp_per_host: int | None = None) -> Mesh:
 
 def validate_tp(config: ModelArgs, tp: int):
     """The reference distributes remainder KV heads unevenly (tp.py:36-52);
-    we require even divisibility — every config in the registry satisfies it
-    for tp in {1,2,4,8} except MHA models at tp > n_head."""
-    assert config.n_kv_head % tp == 0, (config.n_kv_head, tp)
+    GSPMD shards must be even, so configs whose KV heads don't divide tp go
+    through pad_model_for_tp (zero-weight remainder heads) first."""
+    assert config.n_kv_head % tp == 0, (
+        f"n_kv_head={config.n_kv_head} does not divide tp={tp}; pad the "
+        f"model with sharding.pad_model_for_tp(params, config, tp) first")
     assert config.intermediate_size % tp == 0
     assert config.vocab_size % tp == 0
     assert config.dim % tp == 0
+
+
+def pad_model_for_tp(params, config: ModelArgs, tp: int):
+    """Zero-pad the attention heads so n_kv_head divides tp; returns
+    (padded_params, padded_config).
+
+    TPU-native answer to the reference's uneven KV-head distribution
+    (Engine/tp.py:36-52 gives remainder heads to the first ranks): GSPMD
+    NamedShardings need even partitions, so instead whole zero-weight KV-head
+    GROUPS (G q-heads + 1 k + 1 v each) are appended until tp divides. The
+    padded heads are numerically inert — their wqkv columns are zero (q=k=v=0,
+    softmax over zero logits attends a zero V) and their wo rows are zero, so
+    logits are bit-identical to the unpadded model; they cost their share of
+    attention FLOPs/cache, the price of even shards. Registry configs that
+    need this at tp=8: 68m (12 KV heads), tinyllama/Qwen2.5-7b/Yi-1.5-6b (4).
+    """
+    import jax.numpy as jnp
+
+    Hkv, Hq, Dh = config.n_kv_head, config.n_head, config.head_dim
+    if Hkv % tp == 0:
+        return params, config
+    G = Hq // Hkv
+    new_kv = -(-Hkv // tp) * tp
+    pad_kv = new_kv - Hkv
+    new_cfg = config.replace(n_kv_head=new_kv, n_head=new_kv * G,
+                             head_dim=Dh)
+
+    def pad_cols(w, extra):               # [..., out] -> zeros appended
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, extra)]
+        return jnp.pad(w, pad)
+
+    layers = dict(params["layers"])
+    layers["wqkv"] = pad_cols(layers["wqkv"], pad_kv * (G + 2) * Dh)
+    if "bqkv" in layers:
+        layers["bqkv"] = pad_cols(layers["bqkv"], pad_kv * (G + 2) * Dh)
+    # wo rows are q-head-major; new q heads sit at the end
+    wo = layers["wo"]
+    layers["wo"] = jnp.pad(wo, ((0, 0), (0, pad_kv * G * Dh), (0, 0)))
+    out = dict(params)
+    out["layers"] = layers
+    return out, new_cfg
 
 
 def param_pspecs(config: ModelArgs) -> dict:

@@ -84,6 +84,35 @@ def test_validate_tp_rejects_uneven():
         shard_lib.validate_tp(CFG, 3)
 
 
+def test_pad_model_for_tp_exact_and_sharded():
+    """Uneven KV-head TP (reference Engine/tp.py:36-52 remainder heads): the
+    zero-weight head padding must (a) leave logits bit-identical and (b) make
+    the padded model shardable and token-equal on the mesh."""
+    cfg = ModelArgs(block_size=512, vocab_size=512, n_layer=2, n_head=6,
+                    n_kv_head=3, dim=192, intermediate_size=256)
+    params = init_params(jax.random.PRNGKey(1), cfg, jnp.float32, scale=0.5)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, PREFIX)),
+                      jnp.int32)
+
+    pparams, pcfg = shard_lib.pad_model_for_tp(params, cfg, 4)
+    assert pcfg.n_kv_head == 4 and pcfg.n_head == 8
+    assert pcfg.head_dim == cfg.head_dim
+
+    ref_eng = Engine(cfg, params, batch_size=B, max_len=128, prefill_chunk=32)
+    ref, _ = generate_autoregressive(ref_eng, ids, MAX_NEW)
+    pad_eng = Engine(pcfg, pparams, batch_size=B, max_len=128,
+                     prefill_chunk=32)
+    got, _ = generate_autoregressive(pad_eng, ids, MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    mesh = shard_lib.make_mesh(dp=2, tp=4)
+    sh_eng = Engine(pcfg, pparams, batch_size=B, max_len=128, prefill_chunk=32,
+                    mesh=mesh)
+    got_sh, _ = generate_autoregressive(sh_eng, ids, MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(got_sh), np.asarray(ref))
+
+
 def test_flash_stacked_sharded_equals_unsharded():
     """The shard_mapped flash-decode kernel (dp x tp mesh) must be bit-equal
     to the single-device kernel: attention is per-KV-head, so the tp split
