@@ -36,6 +36,15 @@ import time
 from pathlib import Path
 
 import jax
+
+# persistent XLA compile cache: the flagship fused-generation programs cost
+# minutes to compile cold (measured 415 s for the AR while-loop at P=32k
+# through the remote-compile path) and seconds warm; cache survives across
+# bench invocations and engines
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent / ".bench_cache"
+                      / "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 # the reference's BEST published number, at its flagship PREFIX (32000):

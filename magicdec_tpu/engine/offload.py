@@ -418,11 +418,15 @@ def _hostloop_part2(lp, config: ModelArgs, x, q, blocks, mem_ok, tail_k_l,
 
 def offload_generate_hostloop(params, config: ModelArgs, state: OffloadState,
                               store, buffer0, max_new_tokens: int, *,
-                              nprobe: int, cap: int):
+                              nprobe: int, cap: int, lru: "ClusterLRU" = None):
     """Tunnel-safe offload decode: io_callback hangs on remotely-attached
     TPU backends (axon), so the per-layer host gather runs in a host loop
     around two jitted layer halves. Token-identical to offload_generate
-    (same selection, same attention) — the CPU test pins that."""
+    (same selection, same attention) — the CPU test pins that.
+
+    `lru`: optional device-resident block cache (ClusterLRU); per-token
+    cluster fetches then hit HBM for resident clusters and the host link
+    only on misses."""
     B = buffer0.shape[0]
     L = config.n_layer
     tail_k = [state.tail_k[l] for l in range(L)]
@@ -446,9 +450,13 @@ def offload_generate_hostloop(params, config: ModelArgs, state: OffloadState,
             q, top_c, tail_k[l], tail_v[l] = _hostloop_part1(
                 lp, config, x, positions, state.centroids[l], tail_k[l],
                 tail_v[l], tail_len, nprobe)
-            blocks = store.gather_clusters(l, np.asarray(top_c))
+            if lru is not None:
+                blocks = lru.fetch(l, np.asarray(top_c))
+            else:
+                blocks = jnp.asarray(store.gather_clusters(l,
+                                                           np.asarray(top_c)))
             mem_ok = jax.vmap(lambda a, i: a[i])(state.member_valid[l], top_c)
-            x = _hostloop_part2(lp, config, x, q, jnp.asarray(blocks),
+            x = _hostloop_part2(lp, config, x, q, blocks,
                                 mem_ok, tail_k[l], tail_v[l], tail_len)
         tok = finish(params, x)
         tail_len = tail_len + 1
@@ -538,7 +546,8 @@ def _spec_verify_l2(lp, config: ModelArgs, x_all, q_all, blocks, mem_ok,
 
 def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
                           store, buffer0, max_new_tokens: int, *, gamma: int,
-                          nprobe: int, cap: int, eot_ids=()):
+                          nprobe: int, cap: int, eot_ids=(),
+                          lru: "ClusterLRU" = None):
     """Speculative decoding OVER the offloaded cluster store — the
     throughput re-design of the reference's RetroInfer-as-draft composition
     (Engine/RetrievalAttention/backend.py:113-129, which re-prefills per
@@ -555,6 +564,14 @@ def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
     stream equals offload_generate_hostloop's — bit-exact on CPU
     (tests/test_offload.py); on TPU co-scheduling may flip argmax at
     numerical near-ties, as with GliDe's tree scope.
+
+    `lru`: optional ClusterLRU (device-resident block cache, the reference's
+    BufferManager analog). The per-round union fetch then resolves resident
+    clusters from HBM and pulls only MISSES over the host link — across
+    rounds the selections overlap heavily, so the link traffic drops by the
+    hit rate on top of the within-round union dedup. Bytes are identical
+    either way (losslessness untouched). Requires lru.nslots >= the round
+    union size U.
 
     Returns (tokens [B, >= max_new_tokens], state, stats dict).
     """
@@ -619,9 +636,17 @@ def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
                 union[b, len(u):] = u[-1] if len(u) else 0
                 posmap[b] = np.minimum(np.searchsorted(u, top_np[b]),
                                        max(len(u) - 1, 0))
-            blocks_u = jnp.asarray(store.gather_clusters(l, union))
-            blocks = jax.vmap(lambda a, i: a[i])(blocks_u,
-                                                 jnp.asarray(posmap))
+            if lru is not None:
+                # resolve the union through the device block cache: only
+                # misses cross the host link; per-token layout reconstructed
+                # by ONE device gather straight from cache slots
+                slots = lru.admit(l, union)              # np [B, U]
+                final = slots[np.arange(B)[:, None], posmap]
+                blocks = _lru_gather(lru.dev, l, jnp.asarray(final))
+            else:
+                blocks_u = jnp.asarray(store.gather_clusters(l, union))
+                blocks = jax.vmap(lambda a, i: a[i])(blocks_u,
+                                                     jnp.asarray(posmap))
             blocks = blocks.reshape(B, T, nprobe, 2, cap, HD)
             mem_ok = jax.vmap(lambda a, i: a[i])(
                 state.member_valid[l], top_all.reshape(B, T * nprobe))
@@ -653,6 +678,121 @@ def offload_generate_spec(params, config: ModelArgs, state: OffloadState,
                  total_drafted=rounds * B * gamma,
                  generated=int(jnp.sum(gen_counts + 1)))
     return output, new_state, stats
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _lru_scatter(dev, l, slots, blocks):
+    """Admit miss blocks into the device block cache in place.
+    dev [L, B, S, 2, cap, HD]; slots [B, M] int32 (pad entries = S -> OOB
+    dropped); blocks [B, M, 2, cap, HD]."""
+    b_idx = jnp.arange(slots.shape[0])[:, None]
+    return dev.at[l, b_idx, slots].set(blocks.astype(dev.dtype), mode="drop")
+
+
+@jax.jit
+def _lru_gather(dev, l, idx):
+    """dev [L, B, S, 2, cap, HD], idx [B, n] -> [B, n, 2, cap, HD]."""
+    return jax.vmap(lambda a, i: a[i])(dev[l], idx)
+
+
+class ClusterLRU:
+    """Device-resident LRU cache of host-store cluster blocks.
+
+    TPU-native counterpart of the reference's BufferManager (GPU block cache
+    with LRU admission and hit/miss accounting over the CPU wave buffer,
+    Engine/RetrievalAttention/.../wave_buffer_cpu.cpp:48-260): adjacent
+    decode rounds select heavily overlapping clusters, so an HBM cache of
+    `nslots` blocks per (layer, sequence) turns most per-round fetches into
+    device gathers — only MISSES cross the host link. The directory (id ->
+    slot, recency order) lives host-side in numpy: the offload decode is
+    host-driven anyway (the tunnel forbids io_callback), so admission costs
+    no extra device round-trips.
+
+    Correctness: a cached block is bit-identical to the host store's bytes,
+    so the attention (and the emitted stream) is unchanged — the LRU only
+    moves WHERE bytes are fetched from. Pinned by tests/test_offload.py.
+    """
+
+    def __init__(self, store: "HostBlockStore", nslots: int):
+        self.store = store
+        self.nslots = nslots
+        L, B, cap, HD = store.L, store.B, store.cap, store.HD
+        self.dev = jnp.zeros((L, B, nslots, 2, cap, HD),
+                             jnp.dtype(store.dtype))
+        # per-(l, b) directory: id -> slot, insertion order = recency
+        from collections import OrderedDict
+        self._dir = [[OrderedDict() for _ in range(B)] for _ in range(L)]
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+    def fetch(self, l: int, ids: np.ndarray) -> jax.Array:
+        """ids [B, n] cluster ids -> blocks [B, n, 2, cap, HD] (device).
+
+        Resolves hits from the device cache, fetches misses from the host
+        store in ONE gather, admits them (evicting least-recently-used
+        slots), and returns the device-side gather for all n ids.
+        """
+        slots = self.admit(l, ids)
+        return _lru_gather(self.dev, l, jnp.asarray(slots))
+
+    def admit(self, l: int, ids: np.ndarray) -> np.ndarray:
+        """Resolve ids [B, n] to device slots [B, n], fetching misses.
+
+        n (unique ids per row) must be <= nslots, or this round would evict
+        blocks it is itself using.
+        """
+        ids = np.asarray(ids)
+        B, n = ids.shape
+        out = np.empty((B, n), np.int32)
+        miss_ids = [[] for _ in range(B)]
+        miss_slots = [[] for _ in range(B)]
+        for b in range(B):
+            d = self._dir[l][b]
+            assert len(dict.fromkeys(ids[b].tolist())) <= self.nslots, \
+                (n, self.nslots)
+            for j, cid in enumerate(ids[b].tolist()):
+                slot = d.get(cid)
+                if slot is not None:
+                    d.move_to_end(cid)
+                    out[b, j] = slot
+                    self.hits += 1
+                    continue
+                self.misses += 1
+                if len(d) < self.nslots:
+                    slot = len(d)
+                else:
+                    _, slot = d.popitem(last=False)      # evict LRU
+                d[cid] = slot
+                out[b, j] = slot
+                miss_ids[b].append(cid)
+                miss_slots[b].append(slot)
+        m = max(len(x) for x in miss_ids)
+        if m:
+            # EXACT flat host gather (no pad-row fetches — the host link and
+            # the threadpool do only miss work); pads exist only in the
+            # rectangular device upload, dropped via OOB slots
+            st = self.store
+            flat = np.concatenate([
+                (l * st.B + b) * st.C + np.asarray(miss_ids[b], np.int64)
+                for b in range(B) if miss_ids[b]])
+            rows = st.buf.gather(flat).view(st.dtype)
+            rows = rows.reshape(len(flat), 2, st.cap, st.HD)
+            pad_blocks = np.zeros((B, m, 2, st.cap, st.HD), st.dtype)
+            pad_slots = np.full((B, m), self.nslots, np.int32)  # OOB = drop
+            r0 = 0
+            for b in range(B):
+                k = len(miss_ids[b])
+                pad_blocks[b, :k] = rows[r0:r0 + k]
+                pad_slots[b, :k] = miss_slots[b]
+                r0 += k
+            self.dev = _lru_scatter(self.dev, l, jnp.asarray(pad_slots),
+                                    jnp.asarray(pad_blocks))
+        return out
 
 
 class HostBlockStore:

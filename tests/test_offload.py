@@ -97,3 +97,40 @@ def test_spec_over_offload_lossless_vs_hostloop():
     U = min(NCLUST, (3 + 1) * NPROBE)
     assert stats["rounds"] * CFG.n_layer * B * U \
         == store.buf.gathered_slots - before
+
+
+def test_lru_spec_stream_identical_and_fewer_host_fetches():
+    """The device-resident cluster LRU (reference BufferManager analog) must
+    leave the emitted stream bit-identical — it only changes WHERE block
+    bytes are fetched from — while cutting host-link slot fetches by the
+    cross-round hit rate."""
+    params, store, state, buffer0 = _setup()
+    out_plain, _, _ = offload.offload_generate_spec(
+        params, CFG, state, store, buffer0, NEW, gamma=3, nprobe=NPROBE,
+        cap=CAP)
+
+    lru = offload.ClusterLRU(store, nslots=NCLUST)
+    before = store.buf.gathered_slots
+    out_lru, _, stats = offload.offload_generate_spec(
+        params, CFG, state, store, buffer0, NEW, gamma=3, nprobe=NPROBE,
+        cap=CAP, lru=lru)
+    fetched = store.buf.gathered_slots - before
+    np.testing.assert_array_equal(np.asarray(out_lru), np.asarray(out_plain))
+    U = min(NCLUST, (3 + 1) * NPROBE)
+    plain_fetches = stats["rounds"] * CFG.n_layer * B * U
+    assert lru.misses == fetched
+    assert lru.hits > 0 and fetched < plain_fetches
+    assert lru.hit_rate > 0.3, lru.hit_rate     # adjacent rounds overlap
+
+
+def test_lru_hostloop_stream_identical():
+    """AR offload decode through the LRU == plain AR offload decode."""
+    params, store, state, buffer0 = _setup()
+    out_plain, _ = offload.offload_generate_hostloop(
+        params, CFG, state, store, buffer0, NEW, nprobe=NPROBE, cap=CAP)
+    lru = offload.ClusterLRU(store, nslots=NPROBE + 2)   # tiny: force evicts
+    out_lru, _ = offload.offload_generate_hostloop(
+        params, CFG, state, store, buffer0, NEW, nprobe=NPROBE, cap=CAP,
+        lru=lru)
+    np.testing.assert_array_equal(np.asarray(out_lru), np.asarray(out_plain))
+    assert lru.misses > 0
