@@ -126,7 +126,8 @@ def target_decode_step(params, config: ModelArgs, cache: KVCache, tokens,
     """Decode/verify WITHOUT draft writes (baseline + StreamingLLM verify)."""
     impl = impls.target_attn(config, cache.lengths, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, tokens, impl,
-                                     (cache.k, cache.v))
+                                     (cache.k, cache.v),
+                                     fused=llama.fused_for_mesh(mesh))
     new_cache = KVCache(ck, cv, cache.lengths + tokens.shape[1])
     return argmax_tokens(logits), new_cache
 
@@ -141,7 +142,8 @@ def verify_dual_step(params, config: ModelArgs, cache: KVCache,
     impl = impls.verify_dual_attn(config, cache.lengths, draft.lengths,
                                   mesh=mesh)
     logits, (ck, cv, dk, dv) = llama.forward(
-        params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v))
+        params, config, tokens, impl, (cache.k, cache.v, draft.k, draft.v),
+        fused=llama.fused_for_mesh(mesh))
     T = tokens.shape[1]
     new_cache = KVCache(ck, cv, cache.lengths + T)
     new_draft = DraftKVCache(dk, dv, draft.lengths + T, draft.evicted)
@@ -156,7 +158,8 @@ def draft_decode_snapkv_step(params, config: ModelArgs, draft: DraftKVCache,
     impl = impls.snapkv_draft_attn(config, position_base, draft.lengths,
                                    mesh=mesh)
     logits, (dk, dv) = llama.forward(params, config, tokens, impl,
-                                     (draft.k, draft.v))
+                                     (draft.k, draft.v),
+                                     fused=llama.fused_for_mesh(mesh))
     new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
                              draft.evicted)
     return argmax_tokens(logits), new_draft
@@ -171,7 +174,8 @@ def draft_decode_streaming_step(params, config: ModelArgs, draft: DraftKVCache,
     impl = impls.streaming_draft_attn(config, draft.lengths, draft.evicted,
                                       budget, sink, mesh=mesh)
     logits, (dk, dv) = llama.forward(params, config, tokens, impl,
-                                     (draft.k, draft.v))
+                                     (draft.k, draft.v),
+                                     fused=llama.fused_for_mesh(mesh))
     new_draft = DraftKVCache(dk, dv, draft.lengths + tokens.shape[1],
                              draft.evicted)
     return argmax_tokens(logits), new_draft

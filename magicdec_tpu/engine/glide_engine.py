@@ -109,7 +109,8 @@ def glide_generate_fused(params, glide_params, config: ModelArgs,
 
         impl = impls.target_attn(config, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, buffer, impl,
-                                         (cache.k, cache.v))
+                                         (cache.k, cache.v),
+                                         fused=llama.fused_for_mesh(mesh))
         target_tokens = argmax_tokens(logits)
         accept, bonus, output, gen_counts, term, acc = _accept_and_update(
             buffer, target_tokens, eot, gamma, output, gen_counts)
@@ -321,7 +322,8 @@ def glide_tree_round(params, glide_params, config: ModelArgs, tree: SpecTree,
         impl = _tree_target_impl(config, lenT0, positions,
                                  _tree_mask(anc, lenT0, N, S))
     logits, (ck, cv) = llama.forward(params, config, node_tokens, impl,
-                                     (cache.k, cache.v))
+                                     (cache.k, cache.v),
+                                     fused=llama.fused_for_mesh(mesh))
     target_tokens = argmax_tokens(logits)                    # [B, N]
 
     # ---- greedy root-to-leaf walk ------------------------------------------

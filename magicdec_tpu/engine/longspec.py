@@ -53,7 +53,8 @@ def _draft_step_fn(dconfig, mode: str, budget: int, sink: int, mesh=None):
                                               mesh=mesh,
                                               write_mask=write_mask)
         logits, (dk, dv) = llama.forward(dparams, dconfig, tokens, impl,
-                                         (dcache.k, dcache.v), last_only=True)
+                                         (dcache.k, dcache.v), last_only=True,
+                                         fused=llama.fused_for_mesh(mesh))
         T = tokens.shape[1]
         if mode == "full":
             new = KVCache(dk, dv, dcache.lengths + T)
@@ -111,7 +112,8 @@ def longspec_generate_fused(tparams, tconfig, dparams, dconfig,
         #    longspec_benchmark.py:198) ---------------------------------------
         impl = impls.target_attn(tconfig, lenT0, mesh=mesh)
         logits, (ck, cv) = llama.forward(tparams, tconfig, buffer, impl,
-                                         (tcache.k, tcache.v))
+                                         (tcache.k, tcache.v),
+                                         fused=llama.fused_for_mesh(mesh))
         target_tokens = argmax_tokens(logits)
 
         accept, bonus, output, gen_counts, term, acc = _accept_and_update(

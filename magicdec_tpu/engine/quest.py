@@ -217,7 +217,8 @@ def quest_generate_fused(params, config: ModelArgs, cache: KVCache, index,
 
         impl = impls.verify_dual_attn(config, lenT0, NS + tlen0, mesh=mesh)
         logits, (ck, cv, bufk, bufv) = llama.forward(
-            params, config, buffer, impl, (ck, cv, bufk, bufv))
+            params, config, buffer, impl, (ck, cv, bufk, bufv),
+            fused=llama.fused_for_mesh(mesh))
         target_tokens = argmax_tokens(logits)
         accept, bonus, output, gen_counts, term, acc = _accept_and_update(
             buffer, target_tokens, eot, gamma, output, gen_counts)

@@ -414,7 +414,7 @@ def roundtail_draft_loop(params, config: ModelArgs, ck, cv, bufk, bufv,
                                  select_gather_fn, NS=NS, mesh=mesh)
     logits, (ck, cv, bufk, bufv, colmask) = llama.forward(
         params, config, tok, impl, (ck, cv, bufk, bufv, colmask),
-        last_only=True)
+        last_only=True, fused=llama.fused_for_mesh(mesh))
     tok = argmax_tokens(logits)
     lens, tlen = lens + 1, tlen + 1
     drafted = [tok]
@@ -422,7 +422,7 @@ def roundtail_draft_loop(params, config: ModelArgs, ck, cv, bufk, bufv,
         impl = roundtail_draft_attn(config, lens, tlen, NS=NS, mesh=mesh)
         logits, (ck, cv, bufk, bufv, colmask) = llama.forward(
             params, config, tok, impl, (ck, cv, bufk, bufv, colmask),
-            last_only=True)
+            last_only=True, fused=llama.fused_for_mesh(mesh))
         tok = argmax_tokens(logits)
         lens, tlen = lens + 1, tlen + 1
         drafted.append(tok)
@@ -568,7 +568,8 @@ def _roundtail_generate_fused(params, config: ModelArgs, cache: KVCache,
         # round-start offset (the SnapKV dual-cache discipline)
         impl = impls.verify_dual_attn(config, lenT0, NS + tlen0, mesh=mesh)
         logits, (ck, cv, bufk, bufv) = llama.forward(
-            params, config, buffer, impl, (ck, cv, bufk, bufv))
+            params, config, buffer, impl, (ck, cv, bufk, bufv),
+            fused=llama.fused_for_mesh(mesh))
         target_tokens = argmax_tokens(logits)
         accept, bonus, output, gen_counts, term, acc = _accept_and_update(
             buffer, target_tokens, eot, gamma, output, gen_counts)

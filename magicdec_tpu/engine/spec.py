@@ -74,7 +74,8 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
     for i in range(gamma):
         impl = impls.snapkv_draft_attn(config, lenT0 + i, lens, mesh=mesh)
         logits, (dk, dv) = llama.forward(params, config, tok, impl, (dk, dv),
-                                         last_only=True)
+                                         last_only=True,
+                                         fused=llama.fused_for_mesh(mesh))
         tok = argmax_tokens(logits)
         lens = lens + 1
         drafted.append(tok)
@@ -84,7 +85,8 @@ def snapkv_round(params, config, cache: KVCache, draft: DraftKVCache,
     # (overwrites the spec-written entries with target-quality k/v).
     impl = impls.verify_dual_attn(config, lenT0, lenD0, mesh=mesh)
     logits, (ck, cv, dk, dv) = llama.forward(
-        params, config, buffer, impl, (cache.k, cache.v, dk, dv))
+        params, config, buffer, impl, (cache.k, cache.v, dk, dv),
+        fused=llama.fused_for_mesh(mesh))
     target_tokens = argmax_tokens(logits)
 
     accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
@@ -125,7 +127,8 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
                                           sink, mesh=mesh,
                                           write_mask=write_mask)
         logits, (dk, dv) = llama.forward(params, config, tokens, impl,
-                                         (dk, dv), last_only=True)
+                                         (dk, dv), last_only=True,
+                                         fused=llama.fused_for_mesh(mesh))
         return dk, dv, lens + tokens.shape[1], argmax_tokens(logits)
 
     # step 1: re-feed last accepted + current token; remaining steps unrolled
@@ -145,7 +148,8 @@ def streaming_round(params, config, cache: KVCache, draft: DraftKVCache,
     # Engine/StreamingLLM/model.py:209)
     impl = impls.target_attn(config, lenT0, mesh=mesh)
     logits, (ck, cv) = llama.forward(params, config, buffer, impl,
-                                     (cache.k, cache.v))
+                                     (cache.k, cache.v),
+                                     fused=llama.fused_for_mesh(mesh))
     target_tokens = argmax_tokens(logits)
 
     accept, bonus, output, gen_counts, terminal, accepted = _accept_and_update(
@@ -204,7 +208,8 @@ def autoregressive_generate_fused(params, config, cache: KVCache, tok, eot,
         step, tok, cache, output, alive, counts, key = s
         impl = impls.target_attn(config, cache.lengths, mesh=mesh)
         logits, (ck, cv) = llama.forward(params, config, tok, impl,
-                                         (cache.k, cache.v))
+                                         (cache.k, cache.v),
+                                         fused=llama.fused_for_mesh(mesh))
         if temperature > 0.0:
             key, sub = jax.random.split(key)
             nxt = sample(logits, sub, temperature, top_p)

@@ -88,9 +88,30 @@ def _split_qkv(qkv: jax.Array, config: ModelArgs):
 
 
 def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
-           caches: tuple, l: jax.Array):
-    """One decoder block: pre-norm attn + pre-norm SwiGLU MLP."""
+           caches: tuple, l: jax.Array, fused: bool = False):
+    """One decoder block: pre-norm attn + pre-norm SwiGLU MLP.
+
+    fused=True routes the weight matmuls through the two decode megakernels
+    (ops/pallas/fused_block.py): activations stay VMEM-resident around each
+    kernel and the ~10 XLA fusions per layer collapse to 3 launches — the
+    decode path is weight-bandwidth-bound, so launch overhead is a material
+    share of the step (reference analog: torch.compile max-autotune fusion,
+    Engine/SnapKV/backend.py:116-125)."""
     from magicdec_tpu.quant.int8 import qmatmul
+
+    if fused:
+        from magicdec_tpu.ops.pallas.fused_block import (fused_post_attn,
+                                                         fused_qkv)
+        B, T, D = x.shape
+        qkv = fused_qkv(x.reshape(B * T, D), lp["attn_norm"], lp["wqkv"],
+                        lp.get("bqkv"), eps=config.norm_eps)
+        q, k, v = _split_qkv(qkv.reshape(B, T, -1), config)
+        ctx, caches = attn_impl(q, k, v, caches, l)
+        x = fused_post_attn(x.reshape(B * T, D),
+                            ctx.reshape(B * T, -1), lp["wo"],
+                            lp["ffn_norm"], lp["w_gate_up"], lp["w_down"],
+                            eps=config.norm_eps).reshape(B, T, D)
+        return x, caches
 
     h = rms_norm(x, lp["attn_norm"], config.norm_eps)
     qkv = qmatmul(h, lp["wqkv"])
@@ -107,9 +128,48 @@ def _block(x: jax.Array, lp: Params, config: ModelArgs, attn_impl: AttnImpl,
     return x, caches
 
 
+_FUSED_MODE = "off"  # "auto" | "off" — see set_fused_mode
+
+
+def set_fused_mode(mode: str):
+    """Process-wide decode-megakernel switch (mirrors
+    attention_impls.set_attend_mode): "auto" fuses TPU decode/verify-sized
+    calls, "off" keeps the XLA path everywhere. Default OFF: the fused pair
+    measured SLOWER in context at the flagship regime (B=8 P=32768 A/B:
+    AR 1266 -> 1106 tok/s, snapkv spec 4153 -> 2792 — XLA's automatic
+    cross-op weight prefetch under the attention reads beats the kernel's
+    short-grid pipeline at decode M). Kept as an opt-in for larger-M
+    regimes and further tuning; see ops/pallas/fused_block.py."""
+    global _FUSED_MODE
+    assert mode in ("auto", "off"), mode
+    _FUSED_MODE = mode
+
+
+def fused_for_mesh(mesh) -> bool | None:
+    """forward(..., fused=) value for a mesh-parameterized caller: auto on a
+    single device, OFF when the program is GSPMD-partitioned (pallas_call
+    does not auto-partition; the XLA path shards fine)."""
+    return None if (mesh is None or mesh.devices.size == 1) else False
+
+
+def _fused_auto(params: Params, T: int, fused: bool | None) -> bool:
+    """Resolve the fused-megakernel switch: explicit wins; auto = TPU decode/
+    verify-sized calls (T <= 32) with plain (unquantized) weights. Callers
+    running under a >1-device mesh must pass fused=False — pallas_call does
+    not auto-partition under GSPMD."""
+    if fused is not None:
+        return fused
+    if _FUSED_MODE == "off":
+        return False
+    w = params["layers"]["wqkv"]
+    return (jax.default_backend() == "tpu" and T <= 32
+            and isinstance(w, jax.Array))
+
+
 def run_layers(params: Params, config: ModelArgs, x: jax.Array,
                attn_impl: AttnImpl, cache_arrays: tuple,
-               remat: bool = False):
+               remat: bool = False, fused: bool | None = None,
+               unroll: int | bool = 1):
     """Scan the decoder stack. cache_arrays: tuple of FULL stacked [L, ...]
     cache arrays carried through the scan; attn_impl receives (caches, l) and
     appends via in-place scatters at layer l (cache.append_at_layer). Caches
@@ -118,18 +178,24 @@ def run_layers(params: Params, config: ModelArgs, x: jax.Array,
 
     remat=True checkpoints each layer (training: softmax activations are
     recomputed in backward instead of stored — O(1-layer) activation memory,
-    jax.checkpoint-over-scan, the standard XLA remat recipe)."""
+    jax.checkpoint-over-scan, the standard XLA remat recipe).
+
+    fused: see _fused_auto/_block."""
+    use_fused = _fused_auto(params, x.shape[1], fused)
+
     def body(carry, xs):
         x, caches = carry
         lp, l = xs
-        x, caches = _block(x, lp, config, attn_impl, caches, l)
+        x, caches = _block(x, lp, config, attn_impl, caches, l,
+                           fused=use_fused)
         return (x, caches), None
 
     if remat:
         body = jax.checkpoint(body)
     (x, new_caches), _ = jax.lax.scan(
         body, (x, tuple(cache_arrays)),
-        (params["layers"], jnp.arange(config.n_layer, dtype=jnp.int32)))
+        (params["layers"], jnp.arange(config.n_layer, dtype=jnp.int32)),
+        unroll=unroll)
     return x, new_caches
 
 
@@ -145,16 +211,19 @@ def unembed(params: Params, config: ModelArgs, x: jax.Array) -> jax.Array:
 
 def forward(params: Params, config: ModelArgs, tokens: jax.Array,
             attn_impl: AttnImpl, cache_arrays: tuple, last_only: bool = False,
-            remat: bool = False):
+            remat: bool = False, fused: bool | None = None,
+            unroll: int | bool = 1):
     """tokens [B, T] -> (logits fp32, new_cache_arrays).
 
     last_only=True unembeds just the final position ([B, 1, V]) — prefill
     chunks never materialize a [B, T, V] logits tensor (the reference instead
     relies on flashinfer returning per-token outputs and slices afterwards).
+    fused: decode megakernel switch (None = auto; see _fused_auto). Pass
+    False under a >1-device mesh.
     """
     x = params["tok_embeddings"][tokens]
     x, new_caches = run_layers(params, config, x, attn_impl, cache_arrays,
-                               remat=remat)
+                               remat=remat, fused=fused, unroll=unroll)
     if last_only:
         x = x[:, -1:]
     return unembed(params, config, x), new_caches
