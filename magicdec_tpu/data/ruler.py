@@ -163,7 +163,35 @@ TASKS = {"niah": niah, "variable_tracking": variable_tracking,
          "freq_words_extraction": freq_words_extraction, "qa": qa,
          "common_words_extraction": common_words_extraction}
 
+# tasks whose answer is a SET of tokens (any order counts — the reference
+# lists common/frequent words in sample order, equivalent up to permutation)
+_SET_TASKS = frozenset({"freq_words_extraction", "common_words_extraction"})
+
 
 def prepare(task: str, seq_len: int, num_seqs: int, **kw):
     """RULER prepare.py analog: dispatch by task name."""
     return TASKS[task](seq_len, num_seqs, **kw)
+
+
+def score(task: str, generated, answers) -> float:
+    """Exact-match accuracy over sequences (the reference's RULER scoring:
+    string containment of the expected answer — here token-level: the first
+    answer_len generated tokens must reproduce the answer, order-strict for
+    retrieval tasks, as a set for the word-extraction tasks). Closes the
+    quality-eval loop the losslessness invariant cannot: lossless engines
+    must score IDENTICALLY to the baseline; approximate modes (GliDe tree
+    verification on TPU) are quantified by their score delta.
+
+    generated [N, >= answer_len] int tokens, answers [N, answer_len].
+    Returns mean per-sequence accuracy in [0, 1].
+    """
+    gen = np.asarray(generated)
+    ans = np.asarray(answers)
+    n, alen = ans.shape
+    assert gen.shape[0] == n and gen.shape[1] >= alen, (gen.shape, ans.shape)
+    gen = gen[:, :alen]
+    if task in _SET_TASKS:
+        hits = [np.array_equal(np.sort(g), np.sort(a))
+                for g, a in zip(gen, ans)]
+        return float(np.mean(hits))
+    return float(np.mean(np.all(gen == ans, axis=1)))

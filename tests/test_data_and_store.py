@@ -141,3 +141,20 @@ def test_convert_longbench_v2_dataset_hermetic(tmp_path):
 def test_downloader_importable():
     from magicdec_tpu.checkpoint.download import hf_download
     assert callable(hf_download)
+
+
+def test_ruler_score():
+    """Exact-match scoring: order-strict for retrieval tasks, set-equality
+    for word-extraction; generated tails beyond answer_len ignored."""
+    import numpy as np
+
+    from magicdec_tpu.data import ruler
+
+    ans = np.array([[5, 6, 7], [8, 9, 10]])
+    gen = np.array([[5, 6, 7, 99], [8, 9, 11, 99]])
+    assert ruler.score("niah", gen, ans) == 0.5
+    assert ruler.score("qa", ans, ans) == 1.0
+    # set tasks accept permutations
+    gen2 = np.array([[7, 5, 6, 0], [10, 9, 8, 0]])
+    assert ruler.score("common_words_extraction", gen2, ans) == 1.0
+    assert ruler.score("freq_words_extraction", gen, ans) == 0.5
