@@ -109,9 +109,13 @@ def main():
     del eng
 
     # --- full-budget self-spec: acceptance forced 1.0 ------------------------
+    # snapkv at budget == P is the lean full-budget mode: the draft cache is
+    # dual-written during prefill (streaming's full-budget gather build peaks
+    # at target + draft + gather temp ~= 3 cache copies and OOMs at real
+    # shapes; measured llama-3.2-1b B=8 P=16384)
     if not args.skip_fullbudget:
         eng = Engine(cfg, params, batch_size=B, max_len=max_len,
-                     spec="streaming", draft_budget=max_len,
+                     spec="snapkv", draft_budget=P,
                      prefill_chunk=128)
         eng.clear_kv()
         out, counts, st = generate_selfspec(eng, prompt, args.gamma, NEW)

@@ -513,14 +513,20 @@ def flash_decode_stacked(q, k_cache, v_cache, layer, valid_upto, *,
 # [hg*T*G, 128]).
 
 
-def _kernel_prefill(l_ref, cls_ref, rows_ref, qd_ref, k_ref, v_ref,
+def _kernel_prefill(l_ref, cls_ref, fetch_ref, rows_ref, qd_ref, k_ref, v_ref,
                     o_ref, m_scr, l_scr, acc_scr, pen_scr, *, s_real: int,
                     scale: float, cleanup: bool):
     """Grid (B//BB, n_groups, n_s): qd_ref [BB, 1, Mg, HDg], k/v
     [1, BB, s_block, HDg] (columns of group g), rows [BB, Mg, 3] packing
     (a, lo, hi) in one operand (three separate [Mg, 1] operands each pad to
-    128 lanes — 3x the VMEM for the same bits) shared across groups."""
-    del l_ref
+    128 lanes — 3x the VMEM for the same bits) shared across groups.
+
+    fetch_ref [B//BB, n_s] (scalar-prefetch) is consumed by the K/V
+    index_maps, not here: where a whole sub-batch's block is class 0 it
+    repeats the previous needed block's index, and Pallas's pipeline only
+    issues a copy when the block index CHANGES — the skipped blocks then
+    cost neither compute (cls==0 below) nor HBM traffic."""
+    del l_ref, fetch_ref
     BB, _, Mg = qd_ref.shape[0], qd_ref.shape[1], qd_ref.shape[2]
     b0 = pl.program_id(0) * BB
     col = _block_col(Mg, k_ref.shape[2], 2)
@@ -597,26 +603,38 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
     hi_r = _expand_rows(valid_upto, G, TG, TG_pad, hg)
     rows = jnp.concatenate([a_r, lo_r, hi_r], axis=2)        # [B, Mg, 3]
     cls = _block_classes(zero, zero, valid_upto, n_sblk, s_block, S)
+    # DMA-skip map: for each (sub-batch row of the grid, s) the block index
+    # the K/V index_maps should fetch — s itself when ANY sequence in the
+    # sub-batch needs the block, else the last needed index before it (a
+    # repeated index makes the pipeline skip the copy; the kernel does no
+    # compute there, so the stale VMEM contents are never read)
+    need = (cls.reshape(B // BB, BB, n_sblk) > 0).any(axis=1)
+    blk_idx = jnp.arange(n_sblk, dtype=jnp.int32)[None, :]
+    fetch = jnp.maximum(
+        jax.lax.cummax(jnp.where(need, blk_idx, -1), axis=1), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B // BB, ngroups, n_sblk),
         in_specs=[
             pl.BlockSpec((BB, Mg, 3),
-                         lambda b, g, s, l_ref, c_ref: (b, 0, 0),
+                         lambda b, g, s, l_ref, c_ref, f_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1, Mg, HDg),
-                         lambda b, g, s, l_ref, c_ref: (b, g, 0, 0),
+                         lambda b, g, s, l_ref, c_ref, f_ref: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HDg),
-                         lambda b, g, s, l_ref, c_ref: (l_ref[0], b, s, g),
+                         lambda b, g, s, l_ref, c_ref, f_ref:
+                         (l_ref[0], b, f_ref[b, s], g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, s_block, HDg),
-                         lambda b, g, s, l_ref, c_ref: (l_ref[0], b, s, g),
+                         lambda b, g, s, l_ref, c_ref, f_ref:
+                         (l_ref[0], b, f_ref[b, s], g),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BB, 1, Mg, HDg),
-                               lambda b, g, s, l_ref, c_ref: (b, g, 0, 0),
+                               lambda b, g, s, l_ref, c_ref, f_ref:
+                               (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BB, Mg, 1), jnp.float32),
@@ -632,7 +650,7 @@ def flash_prefill(q, k_cache, v_cache, layer, valid_upto, *,
         out_shape=jax.ShapeDtypeStruct((B, ngroups, Mg, HDg), q.dtype),
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), cls, rows, qd,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), cls, fetch, rows, qd,
       k_cache, v_cache)
     # extract: [B, n, Mg, HDg] -> [B, n, hg, TG_pad, hg, D] -> diag over hg
     out = out.reshape(B, ngroups, hg, TG_pad, hg, D)

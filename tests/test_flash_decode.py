@@ -162,6 +162,26 @@ def test_page_gather_single_kv_fused():
                     np.asarray(store[l, b, p * page:(p + 1) * page]))
 
 
+def test_flash_prefill_dma_skip_blocks():
+    """Blocks past EVERY sequence's causal bound are class 0: their K/V
+    index_map repeats the last needed block (the pipeline skips the copy on
+    the real chip). The kernel must still match the oracle — the clamped
+    fetch may only co-occur with skipped compute."""
+    S, T, cap = 512, 16, 512
+    k, v = _mk(S, seed=31)
+    q = jax.random.normal(jax.random.PRNGKey(32), (B, T, Hq, D), jnp.float32)
+    # every bound < 128: blocks 1..3 of the 4-block grid are all-empty
+    lengths = jnp.asarray([100, 64, 3, 90][:B], jnp.int32)
+    valid = dense.decode_valid_upto(lengths, T)
+    for l in range(L):
+        ref = dense.masked_attention(q, k[l].reshape(B, S, Hkv, D),
+                                     v[l].reshape(B, S, Hkv, D), valid)
+        out = fd.flash_prefill(q, k, v, jnp.int32(l), valid, s_block=128,
+                               s_cap=cap, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("S,T,cap", [(256, 32, 256), (384, 16, 256)])
 def test_flash_prefill_matches_oracle(S, T, cap):
     """h-grouped prefill kernel == dense oracle under ragged causal bounds
