@@ -67,11 +67,18 @@ def main():
     from magicdec_tpu.models.config import ModelArgs
 
     cfg = ModelArgs.from_name(args.model)
-    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16,
-                               scale=0.02)
     if args.quant:
+        # init + quantize on the HOST: the bf16 8B weights (16 GB) exceed
+        # HBM before quantization ever runs; only the int8 tree is shipped
         from magicdec_tpu.quant.int8 import quantize_params
-        params = quantize_params(params, args.quant)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                       jnp.bfloat16, scale=0.02)
+            params = quantize_params(params, args.quant)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16,
+                                   scale=0.02)
     wbytes = param_bytes(params)
     B, P, NEW = args.B, args.prefix_len, args.gen_len
     max_len = P + NEW + args.gamma + 8
