@@ -136,7 +136,18 @@ def quantize_params(params: dict, mode: str = "int8") -> dict:
     for name, axis in _QUANT_SPECS.items():
         w = layers[name]
         if mode == "int8":
-            layers[name] = quantize_int8(w, reduce_axes=(axis,))
+            qw = quantize_int8(w, reduce_axes=(axis,))
+            if axis != -2:
+                # fold trailing output axes (e.g. gate_up's [L, D, 2, I] ->
+                # [L, D, 2I]): a size-2 axis under the s8 tiled layout
+                # T(4,128) pads 2->4, and XLA materializes the relayout as a
+                # full-weight copy — measured 7 GB (2x expansion) HLO temp at
+                # llama-3.1-8b, a compile-time OOM. The scale keeps the
+                # original trailing shape; qmatmul unfolds the output.
+                q = qw["q"]
+                lead = q.shape[:q.ndim + axis]
+                qw["q"] = q.reshape(*lead, q.shape[q.ndim + axis], -1)
+            layers[name] = qw
         else:
             layers[name] = quantize_int4_cols(w, in_axis=axis)
     out["layers"] = layers
@@ -154,8 +165,17 @@ def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
     """
     if isinstance(w, dict) and "q" in w:
         wd = w["q"].astype(x.dtype)
-        y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
-        return y * _strip_lead_ones(w["s"]).astype(y.dtype)
+        s = _strip_lead_ones(w["s"])
+        if s.ndim > 1:
+            # folded storage (quantize_params): q is [.., K, prod(out)]; the
+            # scale's trailing shape carries the true output axes — matmul
+            # flat, unfold, then scale (the caller's einsum string describes
+            # the UNfolded weight and is superseded here)
+            y = x @ wd
+            y = y.reshape(*y.shape[:-1], *s.shape)
+        else:
+            y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
+        return y * s.astype(y.dtype)
     if isinstance(w, Int4ColWeight):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
