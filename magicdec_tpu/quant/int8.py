@@ -137,16 +137,21 @@ def quantize_params(params: dict, mode: str = "int8") -> dict:
         w = layers[name]
         if mode == "int8":
             qw = quantize_int8(w, reduce_axes=(axis,))
-            if axis != -2:
-                # fold trailing output axes (e.g. gate_up's [L, D, 2, I] ->
-                # [L, D, 2I]): a size-2 axis under the s8 tiled layout
-                # T(4,128) pads 2->4, and XLA materializes the relayout as a
-                # full-weight copy — measured 7 GB (2x expansion) HLO temp at
-                # llama-3.1-8b, a compile-time OOM. The scale keeps the
-                # original trailing shape; qmatmul unfolds the output.
-                q = qw["q"]
-                lead = q.shape[:q.ndim + axis]
-                qw["q"] = q.reshape(*lead, q.shape[q.ndim + axis], -1)
+            # store TRANSPOSED-folded: [L, prod(out), K]. XLA's s8 matmul
+            # operand layout is K-on-lanes ({1,2,0:T(8,128)(4,1)}): keeping
+            # the default [L, K, out] storage makes every program open with a
+            # full-weight relayout copy as an HLO temp — measured 4.25 GB at
+            # llama-3.1-8b (copy.19/copy.20 in the OOM dump), pushing the
+            # 15.75 GB chip over capacity at compile time. [L, N, K] with the
+            # default major-to-minor layout IS the layout the dot wants (K
+            # minor on lanes, N on sublanes), so the copies vanish. Folding
+            # the trailing output axes (gate_up [L,D,2,I] -> N=2I) also kills
+            # the size-2-axis pad (2->4 under T(4,128), a 2x expansion). The
+            # scale keeps the true trailing shape; qmatmul unfolds the output.
+            q = qw["q"]
+            lead = q.shape[:q.ndim + axis]
+            q = q.reshape(*lead, q.shape[q.ndim + axis], -1)
+            qw = {"qT": jnp.swapaxes(q, -1, -2), "s": qw["s"]}
             layers[name] = qw
         else:
             layers[name] = quantize_int4_cols(w, in_axis=axis)
@@ -163,18 +168,21 @@ def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
     keepdim-1 contraction axes, which align by trailing broadcast against the
     output (e.g. [B,T,O] * [1,O], [B,T,2,I] * [1,2,I]).
     """
+    if isinstance(w, dict) and "qT" in w:
+        # transposed-folded storage (quantize_params): qT is [N, K] per layer
+        # (N = prod(out)); contract x's last axis against qT's last axis (the
+        # caller's einsum string describes the UNfolded [K, *out] weight and
+        # is superseded here), unfold via the scale's trailing shape, scale
+        wd = w["qT"].astype(x.dtype)
+        s = _strip_lead_ones(w["s"])
+        y = jnp.einsum("...k,nk->...n", x, wd)
+        if s.ndim > 1:
+            y = y.reshape(*y.shape[:-1], *s.shape)
+        return y * s.astype(y.dtype)
     if isinstance(w, dict) and "q" in w:
         wd = w["q"].astype(x.dtype)
         s = _strip_lead_ones(w["s"])
-        if s.ndim > 1:
-            # folded storage (quantize_params): q is [.., K, prod(out)]; the
-            # scale's trailing shape carries the true output axes — matmul
-            # flat, unfold, then scale (the caller's einsum string describes
-            # the UNfolded weight and is superseded here)
-            y = x @ wd
-            y = y.reshape(*y.shape[:-1], *s.shape)
-        else:
-            y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
+        y = x @ wd if einsum is None else jnp.einsum(einsum, x, wd)
         return y * s.astype(y.dtype)
     if isinstance(w, Int4ColWeight):
         lead = x.shape[:-1]
