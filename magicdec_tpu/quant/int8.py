@@ -172,13 +172,25 @@ def qmatmul(x: jax.Array, w, einsum: str | None = None) -> jax.Array:
         # transposed-folded storage (quantize_params): qT is [N, K] per layer
         # (N = prod(out)); contract x's last axis against qT's last axis (the
         # caller's einsum string describes the UNfolded [K, *out] weight and
-        # is superseded here), unfold via the scale's trailing shape, scale
-        wd = w["qT"].astype(x.dtype)
+        # is superseded here), unfold via the scale's trailing shape.
+        # The scale multiplies the WEIGHT, element-wise, before the dot —
+        # NOT the output. An output epilogue (y*s in bf16, or f32-accum
+        # then scale) rounds SHAPE-DEPENDENTLY: XLA fuses it differently
+        # for the T=1 draft step vs the T=gamma+1 verify, breaking the
+        # draft==verify bit-exactness the losslessness invariant rests on
+        # (measured: bf16 epilogue 0.80-0.85 full-budget acceptance on v5e;
+        # f32-accum exact on TPU but lossless-FAIL at some shapes on CPU).
+        # Per-element dequant is shape-independent by construction, and the
+        # dot then IS the plain bf16-weights dot, whose T-consistency every
+        # bf16 engine test already pins. XLA fuses convert+mul into the dot's
+        # operand stream, so HBM traffic stays the int8 bytes.
         s = _strip_lead_ones(w["s"])
+        wd = (w["qT"].astype(jnp.float32)
+              * s.reshape(-1)[:, None]).astype(x.dtype)
         y = jnp.einsum("...k,nk->...n", x, wd)
         if s.ndim > 1:
             y = y.reshape(*y.shape[:-1], *s.shape)
-        return y * s.astype(y.dtype)
+        return y
     if isinstance(w, dict) and "q" in w:
         wd = w["q"].astype(x.dtype)
         s = _strip_lead_ones(w["s"])

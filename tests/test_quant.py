@@ -68,6 +68,42 @@ def test_quantized_model_logits_track_fp():
         assert np.asarray(out).shape == (2, 8)
 
 
+def test_int8_spec_lossless_and_fullbudget_exact():
+    """Losslessness + full-budget acceptance==1.0 must hold for an int8-
+    quantized model exactly as for bf16: the draft step (T=1) and verify
+    (T=gamma+1) must produce bit-identical logits. Regression canary for
+    qmatmul's dequant placement — an OUTPUT epilogue (y*s in bf16, or
+    f32-accum-then-scale) fuses shape-dependently (bf16 epilogue: 0.80-0.85
+    full-budget acceptance on v5e; f32-accum: lossless failures at some
+    max_len on CPU). Scaling the WEIGHT element-wise before the dot is
+    shape-independent by construction. Two max_len values because the
+    f32-accum failure was max_len-dependent."""
+    from magicdec_tpu.engine.spec import generate_selfspec
+
+    cfg = ModelArgs.from_name("test-tiny")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16,
+                               scale=0.3)
+    qp = q.quantize_params(params, "int8")
+    B, P, NEW, G = 2, 128, 24, 3
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0,
+                                cfg.vocab_size, dtype=jnp.int32)
+    for max_len in (P + NEW + G + 8, P + NEW + G + 24):
+        eng = Engine(cfg, qp, batch_size=B, max_len=max_len,
+                     prefill_chunk=128)
+        ar, _ = generate_autoregressive(eng, prompt, NEW)
+        for budget in (32, P):
+            e = Engine(cfg, qp, batch_size=B, max_len=max_len,
+                       spec="snapkv", draft_budget=budget,
+                       prefill_chunk=128)
+            out, counts, st = generate_selfspec(e, prompt, G, NEW)
+            assert np.array_equal(np.asarray(out[:, :NEW]),
+                                  np.asarray(ar[:, :NEW])), \
+                (max_len, budget)
+            if budget == P:
+                assert st.acceptance_rate == 1.0, (max_len,
+                                                   st.acceptance_rate)
+
+
 def test_int4_matmul_kernel_matches_dequant_oracle():
     """Fused int4 dequant-matmul (packed nibbles streamed, unpacked in
     registers) == x @ dequantized weight."""
