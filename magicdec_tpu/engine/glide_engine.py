@@ -227,22 +227,44 @@ def _tree_target_impl_flash(config, lengths_before, positions, anc, mesh):
 
 def _compact_path(arrays, base, path, keep_len):
     """arrays: per-layer-less [B, S, HD] (glide) or stacked [L, B, S, HD];
-    move slots base+path[i] -> base+i for i < keep_len."""
+    move slots base+path[i] -> base+i for i < keep_len.
+
+    The write is CONTIGUOUS [base, base+depth1) with NO keep mask: rows at
+    i >= keep_len land on slots past the new length (base+keep_len), which
+    are dead — the next round appends its tree nodes over exactly those
+    slots before any attention can reach them (prefix reads are bounded by
+    the new length).
+
+    Two lowerings, each measured pathological for the other operand shape
+    (B=8, S=33k, v5e, 20-round loops): the [B, S, HD] glide cache takes
+    per-depth vmapped dynamic_slice reads + one vmapped
+    dynamic_update_slice write (1.3 ms; a scattered .at[].set was 50 ms —
+    a full-cache rewrite — and a take_along gather 4.9 ms); the stacked
+    [L, B, S, HD] caches keep the batched gather + scatter (2.5 ms; the
+    slice form vmapped over L regressed to 15.5 ms)."""
     B, depth1 = path.shape
     src = base[:, None] + path
 
-    def per(c_l):                                            # [B, S, HD]
+    def per4(c_l):                                           # [B, S, HD] of L
         gathered = jax.vmap(lambda a, i: a[i])(c_l, src)
-        keep = jnp.arange(depth1, dtype=jnp.int32)[None, :] < keep_len[:, None]
-        dst = jnp.where(keep, base[:, None]
-                        + jnp.arange(depth1, dtype=jnp.int32)[None, :],
-                        c_l.shape[1])
+        dst = base[:, None] + jnp.arange(depth1, dtype=jnp.int32)[None, :]
         return jax.vmap(lambda a, i, g: a.at[i].set(g, mode="drop"))(
             c_l, dst, gathered)
 
+    def per3(c_l):                                           # [B, S, HD]
+        HD = c_l.shape[-1]
+        rows = [jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice(a, (s, 0), (1, HD)))(
+                c_l, base + path[:, i]) for i in range(depth1)]
+        gathered = jnp.concatenate(rows, axis=1)             # [B, depth1, HD]
+
+        def upd(c, n, l):
+            return jax.lax.dynamic_update_slice(c, n, (l, 0))
+        return jax.vmap(upd)(c_l, gathered, base)
+
     if arrays[0].ndim == 4:
-        return tuple(jax.vmap(per)(a) for a in arrays)
-    return tuple(per(a) for a in arrays)
+        return tuple(jax.vmap(per4)(a) for a in arrays)
+    return tuple(per3(a) for a in arrays)
 
 
 def _write_leaf_level_kv(params, glide_params, config, tree: SpecTree,
